@@ -1,0 +1,144 @@
+"""Augmented Dickey-Fuller unit-root test — pure numpy.
+
+The reference calls ``statsmodels.tsa.stattools.adfuller`` with library
+defaults — ``regression='c'``, ``autolag='AIC'`` — and maps a ``ValueError``
+(series too short) to p = 1.0 (``/root/reference/eristropy/stationarity.py:150-163``).
+statsmodels is not available in this environment, so the test is
+implemented from the published method:
+
+- ADF regression:  Δx_t = α + ρ·x_{t-1} + Σ_{k=1..L} φ_k·Δx_{t-k} + ε_t,
+  test statistic = t-value of ρ̂.
+- Lag selection: L chosen by AIC over L = 0..maxlag on a common sample,
+  maxlag = ceil(12·(n/100)^(1/4)) capped at n//2 - 2 (Schwert's rule, the
+  statsmodels default); final statistic re-estimated on the longest sample
+  for the chosen L.
+- p-value: MacKinnon's (1994/2010) response-surface approximation for the
+  constant-only case — Φ of a cubic/quadratic polynomial in the statistic,
+  with the published tail cutoffs.
+
+``ValueError`` is raised when the series is too short to regress (mirroring
+statsmodels), so callers can apply the reference's p = 1.0 fallback.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# MacKinnon approximate-p-value surface, constant-only regression, one unit
+# root (N=1). Published in MacKinnon (1994) "Approximate asymptotic
+# distribution functions for unit-root and cointegration tests".
+_TAU_MAX_C = 2.74
+_TAU_MIN_C = -18.83
+_TAU_STAR_C = -1.61
+_TAU_C_SMALLP = (2.1659, 1.4412, 0.038269)  # p = Phi(c0 + c1 t + c2 t^2)
+_TAU_C_LARGEP = (1.7339, 0.93202, -0.12745, -0.010368)
+
+
+def _norm_cdf(x: float) -> float:
+    return 0.5 * math.erfc(-x / math.sqrt(2.0))
+
+
+def mackinnon_pvalue(stat: float) -> float:
+    """Approximate asymptotic p-value of an ADF tau statistic ('c', N=1)."""
+    if not np.isfinite(stat):
+        return float("nan")
+    if stat > _TAU_MAX_C:
+        return 1.0
+    if stat < _TAU_MIN_C:
+        return 0.0
+    if stat <= _TAU_STAR_C:
+        c = _TAU_C_SMALLP
+        z = c[0] + c[1] * stat + c[2] * stat * stat
+    else:
+        c = _TAU_C_LARGEP
+        z = c[0] + c[1] * stat + c[2] * stat * stat + c[3] * stat**3
+    return _norm_cdf(z)
+
+
+def _ols_tstat0_and_aic(y: np.ndarray, X: np.ndarray) -> tuple[float, float]:
+    """(t-stat of first column's coefficient, AIC) of OLS y ~ X."""
+    n, k = X.shape
+    beta, _, rank, _ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    ssr = float(resid @ resid)
+    # Gaussian log-likelihood at the MLE; AIC = -2 llf + 2 k
+    if ssr <= 0.0:
+        ssr = np.finfo(np.float64).tiny
+    llf = -0.5 * n * (math.log(2.0 * math.pi) + math.log(ssr / n) + 1.0)
+    aic = -2.0 * llf + 2.0 * rank
+    dof = n - rank
+    if dof <= 0:
+        return math.nan, aic
+    sigma2 = ssr / dof
+    xtx_inv = np.linalg.pinv(X.T @ X)
+    se0 = math.sqrt(max(sigma2 * xtx_inv[0, 0], 0.0))
+    t0 = beta[0] / se0 if se0 > 0 else math.nan
+    return float(t0), float(aic)
+
+
+def _design(x: np.ndarray, lag: int) -> tuple[np.ndarray, np.ndarray]:
+    """ADF design for a given lag on the longest available sample.
+
+    Columns: [x_{t-1}, Δx_{t-1}, ..., Δx_{t-lag}, 1].
+    """
+    dx = np.diff(x)
+    nobs = dx.size - lag
+    y = dx[lag:]
+    cols = [x[lag:-1]]
+    for k in range(1, lag + 1):
+        cols.append(dx[lag - k : lag - k + nobs])
+    cols.append(np.ones(nobs))
+    return y, np.column_stack(cols)
+
+
+def adfuller_c(x: np.ndarray, maxlag: int | None = None) -> tuple[float, float, int]:
+    """ADF test (constant regression, AIC lag selection).
+
+    Returns:
+        (statistic, pvalue, usedlag)
+
+    Raises:
+        ValueError: series too short for any ADF regression — callers
+        mirror the reference's fallback (p = 1.0, stationarity.py:158-163).
+    """
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    n = x.size
+    if maxlag is None:
+        maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
+        maxlag = min(n // 2 - 2, maxlag)
+    if maxlag < 0 or n < 4:
+        raise ValueError("sample size is too short to use selected regression component")
+    # AIC selection: all candidate lags fit on the common (shortest) sample
+    dx = np.diff(x)
+    nobs = dx.size - maxlag
+    if nobs < 2:
+        raise ValueError("sample size is too short for the maximum lag")
+    y = dx[maxlag:]
+    level = x[maxlag:-1]
+    lag_cols = [dx[maxlag - k : maxlag - k + nobs] for k in range(1, maxlag + 1)]
+    const = np.ones(nobs)
+    best = (math.inf, 0)
+    for lag in range(0, maxlag + 1):
+        X = np.column_stack([level, *lag_cols[:lag], const])
+        if X.shape[0] <= X.shape[1]:
+            break
+        _, aic = _ols_tstat0_and_aic(y, X)
+        if aic < best[0]:
+            best = (aic, lag)
+    usedlag = best[1]
+    # final regression on the longest sample for the chosen lag
+    y2, X2 = _design(x, usedlag)
+    if X2.shape[0] <= X2.shape[1]:
+        raise ValueError("sample size is too short for the selected lag")
+    stat, _ = _ols_tstat0_and_aic(y2, X2)
+    return stat, mackinnon_pvalue(stat), usedlag
+
+
+def adf_pvalue_or_one(x: np.ndarray) -> float:
+    """ADF p-value with the reference's too-short fallback of 1.0."""
+    try:
+        return adfuller_c(x)[1]
+    except (ValueError, np.linalg.LinAlgError):
+        return 1.0

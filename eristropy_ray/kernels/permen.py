@@ -1,0 +1,61 @@
+"""Permutation entropy (Bandt & Pompe 2002) — vectorized numpy.
+
+The reference advertises a PermEn capability but never implements it
+(``/root/reference/README.md:14``, ``sample_entropy.py:342`` points users at
+"our PermEn class"; the math citation is Bandt & Pompe 2002 in
+``docs/math_explanations/stationarity.md:86-87``). Implemented here from the
+public paper:
+
+    embed x into overlapping windows of ``order`` points at spacing
+    ``delay``; map each window to its ordinal pattern (the permutation that
+    sorts it, ties broken by earlier index — numpy stable argsort); then
+
+        H = -sum_pi p(pi) * ln p(pi)
+
+    over observed pattern frequencies, optionally normalized by
+    ``ln(order!)`` so H in [0, 1].
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def ordinal_patterns(x: np.ndarray, order: int = 3, delay: int = 1) -> np.ndarray:
+    """Integer code of the ordinal pattern of each embedded window.
+
+    Codes are the mixed-radix encoding of the stable argsort permutation —
+    distinct permutations get distinct codes in ``[0, order!)``-dense space
+    (injective; exact values are an internal detail).
+    """
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    n = x.size
+    n_win = n - (order - 1) * delay
+    if n_win <= 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.arange(n_win)[:, None] + np.arange(order)[None, :] * delay
+    windows = x[idx]
+    perm = np.argsort(windows, axis=1, kind="stable")
+    base = order ** np.arange(order, dtype=np.int64)
+    return perm @ base
+
+
+def permen(
+    x: np.ndarray,
+    order: int = 3,
+    delay: int = 1,
+    normalize: bool = True,
+) -> float:
+    """Permutation entropy of ``x``; NaN when no full window fits."""
+    codes = ordinal_patterns(x, order=order, delay=delay)
+    n_win = codes.size
+    if n_win == 0:
+        return math.nan
+    _, counts = np.unique(codes, return_counts=True)
+    p = counts / n_win
+    h = float(-(p * np.log(p)).sum())
+    if normalize:
+        h /= math.log(math.factorial(order))
+    return h
