@@ -1,0 +1,443 @@
+"""Driver-facing query surface: one entry per operator (SURVEY.md §2),
+each with a DuckDB oracle where ANSI SQL can express it.
+
+Cross-engine exactness: float aggregates are accumulated as integer
+micro-units on the Ray side and as DECIMAL(.,6) sums on the DuckDB side —
+both are exact, and every subsequent float op is written in the same
+order, so value hashes match bit-for-bit (no tolerance needed). Columns
+carrying event time are emitted as ``ts_us``/``bucket_us`` BIGINT
+(microseconds) on both sides to avoid timestamp-type mismatches.
+
+All callables take ``sf_dir`` and return a Ray Dataset / pandas DataFrame.
+Ray is initialised by the caller — never here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from eristropy_ray.config import RollupConfig
+from eristropy_ray.stages.signals import (
+    adf_partition,
+    difference_partition,
+    entropy_partition,
+    zscore_partition,
+)
+
+_NPARTS = 32  # hash buckets for grouped signal ops (2×CPU at test scale)
+
+US_1H = 3_600_000_000
+US_1D = 86_400_000_000
+
+
+def _events_signals(sf_dir: str) -> rd.Dataset:
+    """events -> (signal_id, ts_us, value, tie, part)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        sid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (sid * 2654435761 % (2**31 - 1)) % _NPARTS
+        return pa.table(
+            {
+                "signal_id": pa.array(sid, pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "value": b["value"],
+                "tie": pc.cast(b["event_id"], pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _grouped(ds: rd.Dataset, fn) -> rd.Dataset:
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["part"]))
+
+    wrapper.__name__ = fn.__name__
+    return ds.groupby("part").map_groups(wrapper, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_signal_counts(sf_dir: str):
+    """V3-style per-signal sizes + exact min/max (validation surface)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_obs"),
+        Min("value", alias_name="value_min"),
+        Max("value", alias_name="value_max"),
+    )
+    return out
+
+
+def q_min_signal_length(sf_dir: str):
+    """min group size guard (sample_entropy.py:106-111)."""
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_obs"))
+    )
+    m = counts.min("n_obs")
+    return pd.DataFrame({"min_len": [int(m)]})
+
+
+def q_doc_len(sf_dir: str):
+    """value = len(text) derivation (the transcript ingest projection)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "value": pc.cast(pc.utf8_length(b["text"]), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_difference(sf_dir: str):
+    """T2 per-signal first difference (difference.py:29-81)."""
+    return _grouped(_events_signals(sf_dir), difference_partition).select_columns(
+        ["signal_id", "ts_us", "value"]
+    )
+
+
+def q_zscore(sf_dir: str):
+    """A4 per-signal z-score, ddof=1 (stationarity.py:278-281)."""
+    return _grouped(_events_signals(sf_dir), zscore_partition).select_columns(
+        ["signal_id", "ts_us", "value"]
+    )
+
+
+def _bucket_rollup(sf_dir: str, step_us: int):
+    """Continuous-aggregate rollup with the scalable partial-agg pattern:
+    exact integer-micro partials per batch, then a small groupby."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        bucket = ts - ts % step_us
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "bucket_us": bucket,
+                "vmu": np.round(v * 1e6).astype(np.int64),
+                "v": v,
+            }
+        )
+        g = df.groupby(["user_id", "bucket_us"], sort=False).agg(
+            n_obs=("v", "size"),
+            sum_mu=("vmu", "sum"),
+            value_min=("v", "min"),
+            value_max=("v", "max"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["user_id", "bucket_us"]).aggregate(
+        Sum("n_obs", alias_name="n_obs"),
+        Sum("sum_mu", alias_name="sum_mu"),
+        Min("value_min", alias_name="value_min"),
+        Max("value_max", alias_name="value_max"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        sum_mu = b["sum_mu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_obs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vsum = sum_mu.astype(np.float64) / 1e6
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "bucket_us": b["bucket_us"],
+                "n_obs": pa.array(n, pa.int64()),
+                "value_min": b["value_min"],
+                "value_max": b["value_max"],
+                "value_sum": pa.array(vsum, pa.float64()),
+                "value_mean": pa.array(vsum / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_rollup_1h(sf_dir: str):
+    return _bucket_rollup(sf_dir, US_1H)
+
+
+def q_rollup_1d(sf_dir: str):
+    return _bucket_rollup(sf_dir, US_1D)
+
+
+def q_doc_counts_by_lang(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition by content hash, keep min doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].map(
+            lambda t: hashlib.sha1(t.encode("utf-8")).hexdigest()
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "h": h})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    out = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dupes")
+    )
+    return out.select_columns(["doc_id", "n_dupes"])
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token counting (text-analysis op)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.findall(r"\S+").str.len().astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality scoring: exact integer counts + deterministic ratios."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df["text"].str.len().astype("int64")
+        n_punct = df["text"].str.count(r"[.!?,;:]").astype("int64")
+        n_upper = df["text"].str.count(r"[A-Z]").astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": n_chars,
+                "n_punct": n_punct,
+                "n_upper": n_upper,
+                "punct_ratio": n_punct.to_numpy() / n_chars.to_numpy(),
+                "upper_ratio": n_upper.to_numpy() / n_chars.to_numpy(),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_similarity_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k vs the vec_id=0 embedding (broadcast)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = None
+    for batch in tbl.to_batches():
+        ids = batch["vec_id"].to_numpy()
+        hit = np.flatnonzero(ids == 0)
+        if hit.size:
+            qvec = np.asarray(batch["embedding"][hit[0]].as_py(), dtype=np.float64)
+            break
+    qref = ray.put(qvec / np.sqrt((qvec * qvec).sum()))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        q = _ray.get(qref)
+        emb = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
+        )
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        sims = (emb @ q) / norms
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "sim": pa.array(np.round(sims, 4), pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+    return top
+
+
+def q_sampen_per_signal(sf_dir: str):
+    """O4 analogue: per-signal SampEn/PermEn (rows-only; not SQL)."""
+    return _grouped(_events_signals(sf_dir), entropy_partition)
+
+
+def q_adf_stationarity(sf_dir: str):
+    """A1+A2: difference -> per-signal ADF p -> Holm-Sidak accept set.
+
+    The multiple-testing barrier runs on the driver over one scalar per
+    signal (rows-only; not SQL)."""
+    from eristropy_ray.kernels.multitest import holm_sidak
+
+    diffed = _grouped(_events_signals(sf_dir), difference_partition)
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["signal_id"].to_numpy() * 2654435761 % (2**31 - 1)) % _NPARTS
+        df["tie"] = 0
+        return df
+
+    pvals = (
+        diffed.map_batches(rekey, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda df: adf_partition(df.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    pvals = pvals.sort_values("signal_id").reset_index(drop=True)
+    reject, corrected = holm_sidak(pvals["pvalue"].to_numpy(), alpha=0.05)
+    pvals["stationary"] = reject
+    pvals["pvalue_corrected"] = corrected
+    return pvals
+
+
+def q_transcript_rollup(sf_dir: str):
+    """Flagship rollup over events projected to transcript shape
+    (rows-only; windowed entropies are not SQL-expressible)."""
+    from eristropy_ray.pipelines.rollup import rollup_dataset
+    from eristropy_ray.sources.transcripts import events_to_transcripts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    turns = ds.map_batches(events_to_transcripts, batch_format="pyarrow")
+    return rollup_dataset(turns, RollupConfig())
+
+
+def q_tier_blocks(sf_dir: str):
+    """Gap-filled Gorilla/DoD tier blocks (rows-only; binary columns
+    dropped for the driver's hasher — sizes and counts remain)."""
+    from eristropy_ray.pipelines.rollup import encode_dataset, rollup_dataset
+    from eristropy_ray.sources.transcripts import events_to_transcripts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    turns = ds.map_batches(events_to_transcripts, batch_format="pyarrow")
+    blocks = encode_dataset(rollup_dataset(turns, RollupConfig()))
+    return blocks.select_columns(
+        ["conv_id", "tier", "block_start", "n_points", "gap_filled_points",
+         "raw_bytes", "enc_bytes"]
+    )
+
+
+QUERIES = {
+    "signal_counts": q_signal_counts,
+    "min_signal_length": q_min_signal_length,
+    "doc_len": q_doc_len,
+    "difference": q_difference,
+    "zscore": q_zscore,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "doc_counts_by_lang": q_doc_counts_by_lang,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "similarity_topk": q_similarity_topk,
+    "sampen_per_signal": q_sampen_per_signal,
+    "adf_stationarity": q_adf_stationarity,
+    "transcript_rollup": q_transcript_rollup,
+    "tier_blocks": q_tier_blocks,
+}
+
+
+def _rollup_sql(step_us: int) -> str:
+    return f"""
+SELECT user_id,
+       epoch_us(ts) - epoch_us(ts) % {step_us} AS bucket_us,
+       COUNT(*) AS n_obs,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS value_mean
+FROM events
+GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL = {
+    "signal_counts": """
+SELECT user_id, COUNT(*) AS n_obs, MIN(value) AS value_min, MAX(value) AS value_max
+FROM events GROUP BY user_id
+""",
+    "min_signal_length": """
+SELECT MIN(n_obs) AS min_len
+FROM (SELECT COUNT(*) AS n_obs FROM events GROUP BY user_id)
+""",
+    "doc_len": """
+SELECT doc_id, CAST(length(text) AS DOUBLE) AS value FROM documents
+""",
+    "difference": """
+SELECT signal_id, ts_us, value FROM (
+  SELECT user_id AS signal_id, epoch_us(ts) AS ts_us,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value
+  FROM events
+) WHERE value IS NOT NULL
+""",
+    "zscore": """
+WITH s AS (
+  SELECT user_id AS signal_id, epoch_us(ts) AS ts_us, value,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sv,
+         CAST(SUM(CAST(value * value AS DECIMAL(24,6))) OVER w AS DOUBLE) AS sq
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT signal_id, ts_us, (value - sv / n) / sqrt((sq - sv * sv / n) / (n - 1)) AS value
+FROM s WHERE n >= 2
+""",
+    "rollup_1h": _rollup_sql(US_1H),
+    "rollup_1d": _rollup_sql(US_1D),
+    "doc_counts_by_lang": """
+SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+""",
+    "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes FROM documents GROUP BY text
+""",
+    "token_counts": """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "quality_scores": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS upper_ratio
+FROM documents
+""",
+    "similarity_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS embedding
+           FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    (SELECT embedding FROM q)), 4) AS sim
+FROM embeddings e
+ORDER BY sim DESC, vec_id
+LIMIT 10
+""",
+}

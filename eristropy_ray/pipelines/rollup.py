@@ -1,0 +1,149 @@
+"""Flagship pipeline: transcripts -> entropy rollups -> retention tiers.
+
+Logical plan (SURVEY.md §4.2):
+
+    read_parquet(transcripts, columns=[conv_id, turn_idx, text, ts])
+      └─ map_batches: project + derive value = len(text)      [stateless]
+      └─ map_batches: add part = hash(conv_id) % P            [stateless]
+      └─ groupby(part).map_groups(RollupPartition)            [shuffle 1 —
+           the ONE full shuffle; each task rolls up a whole hash bucket
+           of conversations across all tiers in one vectorized pass]
+      └─ (rows output)  write_parquet partitioned by tier
+      └─ groupby(part).map_groups(EncodePartition)            [shuffle 2 —
+           windows-sized data only: gap-fill + Gorilla/DoD blocks]
+      └─ (blocks output) write_parquet partitioned by tier
+
+Streaming properties: no driver-side materialization of the turn table;
+the rollup output is ~windows-sized (orders smaller than input); blocks
+are smaller still. Never call ray.init() here — the session owner does.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import ray.data as rd
+
+from eristropy_ray.config import EncodeConfig, RollupConfig
+from eristropy_ray.stages.encode import make_partition_encode_fn
+from eristropy_ray.stages.project import add_partition_key, project_turns
+from eristropy_ray.stages.rollup import (
+    add_day_column,
+    make_partition_rollup_fn,
+    make_window_group_fn,
+)
+from eristropy_ray.state.manifest import Manifest
+from eristropy_ray.state.metrics import MetricsLog
+
+TRANSCRIPT_READ_COLUMNS = ["conv_id", "turn_idx", "text", "ts"]
+
+
+def _default_partitions(cfg: RollupConfig) -> int:
+    if cfg.num_partitions:
+        return cfg.num_partitions
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2 * cpus, 16)
+
+
+def rollup_dataset(
+    turns: rd.Dataset,
+    cfg: RollupConfig = RollupConfig(),
+    mode: str = "bucketed",
+) -> rd.Dataset:
+    """Transcript-shaped Dataset -> rollup-row Dataset (lazy)."""
+    projected = turns.map_batches(project_turns, batch_format="pyarrow")
+    if mode == "bucketed":
+        nparts = _default_partitions(cfg)
+        keyed = projected.map_batches(
+            lambda b: add_partition_key(b, nparts), batch_format="pyarrow"
+        )
+        return keyed.groupby("part").map_groups(
+            make_partition_rollup_fn(cfg), batch_format="pyarrow"
+        )
+    if mode == "window_groups":
+        keyed = projected.map_batches(add_day_column, batch_format="pyarrow")
+        return keyed.groupby(["conv_id", "day"]).map_groups(
+            make_window_group_fn(cfg), batch_format="pyarrow"
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def encode_dataset(
+    rollup: rd.Dataset,
+    cfg: RollupConfig = RollupConfig(),
+    enc_cfg: EncodeConfig = EncodeConfig(),
+) -> rd.Dataset:
+    """Rollup rows -> gap-filled compressed tier blocks (lazy)."""
+    nparts = max(_default_partitions(cfg) // 4, 4)
+    keyed = rollup.map_batches(
+        lambda b: add_partition_key(b, nparts), batch_format="pyarrow"
+    )
+    return keyed.groupby("part").map_groups(
+        make_partition_encode_fn(enc_cfg), batch_format="pyarrow"
+    )
+
+
+def run_rollup_job(
+    input_files: list[str],
+    out_dir: str,
+    cfg: RollupConfig = RollupConfig(),
+    enc_cfg: EncodeConfig = EncodeConfig(),
+    n_shards: int = 4,
+    resume: bool = True,
+    mode: str = "bucketed",
+) -> dict:
+    """Checkpointed, resumable rollup over a list of transcript files.
+
+    Shards = contiguous input-file groups (conversations never span files).
+    Completed shards (manifest + output present) are skipped on resume.
+    Emits per-(stage, shard) lineage metrics. Returns a summary dict.
+    """
+    out = Path(out_dir)
+    manifest = Manifest(out)
+    metrics = MetricsLog(out)
+    input_files = sorted(input_files)
+    shards = [
+        (f"s{idx:04d}", input_files[idx::n_shards]) for idx in range(n_shards)
+    ]
+    summary = {"shards_total": len(shards), "shards_skipped": 0, "rows": 0, "blocks": 0}
+    for shard_id, files in shards:
+        if not files:
+            continue
+        if resume and manifest.is_complete(shard_id, "encode"):
+            summary["shards_skipped"] += 1
+            continue
+        t0 = time.time()
+        turns = rd.read_parquet(files, columns=TRANSCRIPT_READ_COLUMNS)
+        rows_path = str(out / "rollup" / f"shard={shard_id}")
+        rollup = rollup_dataset(turns, cfg, mode=mode)
+        rollup.write_parquet(rows_path, partition_cols=["tier"])
+        # re-read = checkpoint barrier; drop the hive "shard=" path column
+        from eristropy_ray.stages.windows import ROLLUP_COLUMNS
+
+        rollup_written = rd.read_parquet(rows_path).select_columns(
+            list(ROLLUP_COLUMNS)
+        )
+        n_rows = rollup_written.count()
+        t1 = time.time()
+        metrics.emit(
+            stage="rollup", shard=shard_id, rows_out=n_rows,
+            input_files=len(files), wall_s=round(t1 - t0, 3),
+        )
+        manifest.mark_complete(shard_id, "rollup", rows_path, n_rows, t1 - t0)
+
+        blocks_path = str(out / "blocks" / f"shard={shard_id}")
+        blocks = encode_dataset(rollup_written, cfg, enc_cfg)
+        blocks.write_parquet(blocks_path, partition_cols=["tier"])
+        n_blocks = rd.read_parquet(blocks_path).count()
+        t2 = time.time()
+        metrics.emit(
+            stage="encode", shard=shard_id, rows_out=n_blocks,
+            wall_s=round(t2 - t1, 3),
+        )
+        manifest.mark_complete(shard_id, "encode", blocks_path, n_blocks, t2 - t1)
+        summary["rows"] += n_rows
+        summary["blocks"] += n_blocks
+    return summary

@@ -1,0 +1,118 @@
+"""Grouped signal-table operators over (signal_id, ts_us, value[, tie]).
+
+The reference's per-signal transforms (SURVEY.md §2.3-2.5) re-expressed as
+vectorized multi-signal array kernels, used by the bucketed
+``groupby(part).map_groups`` execution mode — one call processes ALL
+signals of a hash partition with numpy, no per-signal Python dispatch:
+
+- ``difference_partition``: T2 ``_difference_all_signals``
+  (difference.py:29-81) — per-signal first difference, dropping each
+  signal's first timestamp.
+- ``zscore_partition``: A4 ``_normalize`` via groupby transform
+  (stationarity.py:167-170, 278-281) — ddof=1, and binary-exact against a
+  DuckDB decimal-sum oracle: sums are accumulated as integer micro-units
+  and every subsequent float op follows the documented expression order.
+- ``entropy_partition``: O4 ``compute_all_sampen`` analogue — per-signal
+  SampEn (m, r = r_frac·std) + PermEn.
+- ``adf_partition``: A1 ``_calculate_pvalues`` (stationarity.py:129-165) —
+  per-signal ADF p-value with the p=1.0 too-short fallback.
+
+Ordering contract: rows are sorted by (signal, ts_us, tie) before any
+kernel — the reference's global sort_values(timestamp) + stable groupby
+(difference.py:52-55) restricted to within-partition, which is sufficient
+because signals never span partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from eristropy_ray.kernels.adf import adf_pvalue_or_one
+from eristropy_ray.kernels.permen import permen
+from eristropy_ray.kernels.sampen import sampen
+
+
+def _sorted_groups(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
+    """(sorted df, group start indices, group codes) by (signal_id, ts_us, tie)."""
+    codes, _ = pd.factorize(df["signal_id"], sort=False)
+    tie = df["tie"].to_numpy() if "tie" in df.columns else np.zeros(len(df))
+    order = np.lexsort((tie, df["ts_us"].to_numpy(), codes))
+    sdf = df.iloc[order].reset_index(drop=True)
+    scodes = codes[order]
+    change = np.empty(scodes.size, dtype=bool)
+    if scodes.size:
+        change[0] = True
+        change[1:] = scodes[1:] != scodes[:-1]
+    starts = np.flatnonzero(change)
+    return sdf, starts, scodes
+
+
+def difference_partition(df: pd.DataFrame) -> pd.DataFrame:
+    sdf, starts, _ = _sorted_groups(df)
+    v = sdf["value"].to_numpy(dtype=np.float64)
+    n = v.size
+    if n == 0:
+        return sdf.iloc[0:0][["signal_id", "ts_us", "value"]]
+    keep = np.ones(n, dtype=bool)
+    keep[starts] = False  # drop each signal's first row
+    out = sdf.loc[keep, ["signal_id", "ts_us"]].copy()
+    diffs = np.empty(n)
+    diffs[1:] = v[1:] - v[:-1]
+    out["value"] = diffs[keep]
+    return out
+
+
+def zscore_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact-decimal z-score; groups with <2 rows are dropped (the SQL
+    oracle does the same) and zero-variance groups yield NaN."""
+    sdf, starts, scodes = _sorted_groups(df)
+    v = sdf["value"].to_numpy(dtype=np.float64)
+    if v.size == 0:
+        return sdf.iloc[0:0][["signal_id", "ts_us", "value"]]
+    vmu = np.round(v * 1e6).astype(np.int64)
+    sqmu = np.round(v * v * 1e6).astype(np.int64)
+    counts = np.diff(np.append(starts, v.size))
+    sv = np.add.reduceat(vmu, starts).astype(np.float64) / 1e6
+    sq = np.add.reduceat(sqmu, starts).astype(np.float64) / 1e6
+    n = counts.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = sv / n
+        var = (sq - sv * sv / n) / (n - 1.0)
+        std = np.sqrt(var)
+    rep = np.repeat(np.arange(starts.size), counts)
+    keep = counts[rep] >= 2
+    out = sdf.loc[keep, ["signal_id", "ts_us"]].copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["value"] = ((v - mean[rep]) / std[rep])[keep]
+    return out
+
+
+def entropy_partition(
+    df: pd.DataFrame, m: int = 2, r_frac: float = 0.2, permen_order: int = 3
+) -> pd.DataFrame:
+    sdf, starts, scodes = _sorted_groups(df)
+    v = sdf["value"].to_numpy(dtype=np.float64)
+    ends = np.append(starts[1:], v.size)
+    rows = {"signal_id": [], "n_obs": [], "sampen": [], "permen": []}
+    for s, e in zip(starts, ends):
+        x = v[s:e]
+        sd = float(x.std())
+        r = r_frac * sd if sd > 0 else 1.0
+        rows["signal_id"].append(sdf["signal_id"].iloc[s])
+        rows["n_obs"].append(int(e - s))
+        rows["sampen"].append(sampen(x, m, r))
+        rows["permen"].append(permen(x, order=permen_order))
+    return pd.DataFrame(rows)
+
+
+def adf_partition(df: pd.DataFrame) -> pd.DataFrame:
+    sdf, starts, _ = _sorted_groups(df)
+    v = sdf["value"].to_numpy(dtype=np.float64)
+    ends = np.append(starts[1:], v.size)
+    rows = {"signal_id": [], "pvalue": [], "n_obs": []}
+    for s, e in zip(starts, ends):
+        rows["signal_id"].append(sdf["signal_id"].iloc[s])
+        rows["pvalue"].append(adf_pvalue_or_one(v[s:e]))
+        rows["n_obs"].append(int(e - s))
+    return pd.DataFrame(rows)

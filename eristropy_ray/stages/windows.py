@@ -1,0 +1,147 @@
+"""Core windowed-entropy rollup over flat numpy arrays — the single code
+path shared by every execution mode (bucketed map_batches, per-window
+map_groups, and the local oracle used in tests).
+
+Given (conv_id, turn_idx, ts, value) arrays for ANY set of conversations,
+sorts by (conv, ts, turn_idx) — the "stable turn ordering" invariant from
+BASELINE.json.input_hint — then for every retention tier emits one row per
+(conv_id, bucket) window with exact vectorized stats (reduceat) and the
+entropy kernels of the reference applied per window:
+
+- ``sampen``/``permen``: computed on the first-differenced window series
+  (the reference's stationarity preprocessing, stationarity.py:237-241,
+  difference.py:52-79) — NaN when the window is shorter than
+  ``cfg.min_window``;
+- ``sampen_raw``/``permen_raw``: the same kernels on the raw series;
+- per-window radius r = cfg.r_frac · std(series) (population), r = 1.0 for
+  constant series (keeps the reference invariant SampEn(constant) = 0).
+
+Windows never span group boundaries by construction: callers group by
+conversation (bucketed mode) or by (conversation, day) — each tier's
+buckets nest inside a day, so a (conv, day) group always contains whole
+windows for every tier <= 1d.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from eristropy_ray.config import TIER_STEPS_US, RollupConfig
+from eristropy_ray.kernels.permen import permen
+from eristropy_ray.kernels.sampen import sampen
+
+ROLLUP_COLUMNS = (
+    "conv_id",
+    "tier",
+    "bucket_ts",
+    "n_turns",
+    "value_mean",
+    "value_sum",
+    "value_min",
+    "value_max",
+    "value_std",
+    "sampen",
+    "permen",
+    "sampen_raw",
+    "permen_raw",
+)
+
+
+def _entropy_pair(x: np.ndarray, cfg: RollupConfig) -> tuple[float, float]:
+    """(sampen, permen) of one window series with the derived radius."""
+    if x.size > cfg.max_window_points:
+        stride = -(-x.size // cfg.max_window_points)  # ceil division
+        x = x[::stride]
+    sd = float(x.std())
+    r = cfg.r_frac * sd if sd > 0.0 else 1.0
+    return sampen(x, cfg.m, r), permen(x, order=cfg.permen_order)
+
+
+def rollup_windows(
+    conv_id: np.ndarray,
+    turn_idx: np.ndarray,
+    ts_us: np.ndarray,
+    value: np.ndarray,
+    cfg: RollupConfig,
+) -> dict[str, np.ndarray]:
+    """All-tier rollup rows (dict of columns per ROLLUP_COLUMNS) for the
+    given turns. Input order is irrelevant; output is ordered by
+    (tier, conv, bucket)."""
+    codes, uniques = pd.factorize(conv_id, sort=False)
+    codes = np.ascontiguousarray(codes, dtype=np.int64)
+    ts_us = np.ascontiguousarray(ts_us, dtype=np.int64)
+    turn_idx = np.ascontiguousarray(turn_idx, dtype=np.int64)
+    value = np.ascontiguousarray(value, dtype=np.float64)
+
+    order = np.lexsort((turn_idx, ts_us, codes))
+    codes = codes[order]
+    ts_us = ts_us[order]
+    v = value[order]
+    v_sq = v * v
+    uniques = np.asarray(uniques, dtype=object)
+
+    out: dict[str, list[np.ndarray]] = {name: [] for name in ROLLUP_COLUMNS}
+    for tier in cfg.tiers:
+        step = TIER_STEPS_US[tier]
+        bucket = (ts_us // step) * step
+        if codes.size == 0:
+            continue
+        change = np.empty(codes.size, dtype=bool)
+        change[0] = True
+        np.logical_or(
+            codes[1:] != codes[:-1], bucket[1:] != bucket[:-1], out=change[1:]
+        )
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, codes.size))
+        sums = np.add.reduceat(v, starts)
+        mins = np.minimum.reduceat(v, starts)
+        maxs = np.maximum.reduceat(v, starts)
+        sq = np.add.reduceat(v_sq, starts)
+        means = sums / counts
+        var = np.maximum(sq / counts - means * means, 0.0)
+        stds = np.sqrt(var)
+
+        n_win = starts.size
+        se = np.append(starts, codes.size)
+        s_diff = np.full(n_win, np.nan)
+        p_diff = np.full(n_win, np.nan)
+        s_raw = np.full(n_win, np.nan)
+        p_raw = np.full(n_win, np.nan)
+        use_diff = cfg.preprocess == "difference"
+        for w in range(n_win):
+            n = counts[w]
+            if n < cfg.min_window:
+                continue
+            x = v[se[w] : se[w + 1]]
+            s_raw[w], p_raw[w] = _entropy_pair(x, cfg)
+            if use_diff:
+                s_diff[w], p_diff[w] = _entropy_pair(np.diff(x), cfg)
+        if not use_diff:
+            s_diff, p_diff = s_raw, p_raw
+
+        out["conv_id"].append(uniques[codes[starts]])
+        out["tier"].append(np.full(n_win, tier, dtype=object))
+        out["bucket_ts"].append(bucket[starts])
+        out["n_turns"].append(counts.astype(np.int64))
+        out["value_mean"].append(means)
+        out["value_sum"].append(sums)
+        out["value_min"].append(mins)
+        out["value_max"].append(maxs)
+        out["value_std"].append(stds)
+        out["sampen"].append(s_diff)
+        out["permen"].append(p_diff)
+        out["sampen_raw"].append(s_raw)
+        out["permen_raw"].append(p_raw)
+
+    if not out["conv_id"]:
+        return {
+            "conv_id": np.empty(0, dtype=object),
+            "tier": np.empty(0, dtype=object),
+            "bucket_ts": np.empty(0, dtype=np.int64),
+            **{
+                name: np.empty(0, dtype=np.int64 if name == "n_turns" else np.float64)
+                for name in ROLLUP_COLUMNS[3:]
+            },
+        }
+    return {name: np.concatenate(chunks) for name, chunks in out.items()}

@@ -1,0 +1,117 @@
+"""Windowed rollup core vs an independent pandas oracle."""
+
+import numpy as np
+import pandas as pd
+
+from eristropy_ray.config import TIER_STEPS_US, RollupConfig
+from eristropy_ray.kernels.permen import permen
+from eristropy_ray.kernels.sampen import sampen
+from eristropy_ray.stages.windows import rollup_windows
+
+
+def _make_turns(rng, n_convs=5, n_turns=200):
+    rows = []
+    for c in range(n_convs):
+        ts0 = 1_700_000_000_000_000 + c * 3_600_000_000
+        for t in range(n_turns):
+            rows.append(
+                {
+                    "conv_id": f"c{c}",
+                    "turn_idx": t,
+                    "ts": ts0 + t * 7_000_000 + int(rng.integers(0, 1000)),
+                    "value": float(rng.integers(1, 500)),
+                }
+            )
+    rng.shuffle(rows)  # input order must not matter
+    return pd.DataFrame(rows)
+
+
+def _oracle(df, cfg):
+    out = []
+    for tier in cfg.tiers:
+        step = TIER_STEPS_US[tier]
+        d = df.copy()
+        d["bucket"] = d["ts"] // step * step
+        for (conv, bucket), g in d.groupby(["conv_id", "bucket"]):
+            g = g.sort_values(["ts", "turn_idx"], kind="stable")
+            x = g["value"].to_numpy()
+            row = {
+                "conv_id": conv,
+                "tier": tier,
+                "bucket_ts": bucket,
+                "n_turns": len(g),
+                "value_mean": x.mean(),
+                "value_min": x.min(),
+                "value_max": x.max(),
+            }
+            if len(x) >= cfg.min_window:
+                sd = x.std()
+                r = cfg.r_frac * sd if sd > 0 else 1.0
+                row["sampen_raw"] = sampen(x, cfg.m, r)
+                row["permen_raw"] = permen(x, order=cfg.permen_order)
+                dx = np.diff(x)
+                sdd = dx.std()
+                rd_ = cfg.r_frac * sdd if sdd > 0 else 1.0
+                row["sampen"] = sampen(dx, cfg.m, rd_)
+                row["permen"] = permen(dx, order=cfg.permen_order)
+            else:
+                row["sampen_raw"] = row["permen_raw"] = np.nan
+                row["sampen"] = row["permen"] = np.nan
+            out.append(row)
+    return (
+        pd.DataFrame(out)
+        .sort_values(["tier", "conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+
+def test_rollup_windows_matches_oracle(rng):
+    df = _make_turns(rng)
+    cfg = RollupConfig()
+    got = pd.DataFrame(
+        rollup_windows(
+            df["conv_id"].to_numpy(dtype=object),
+            df["turn_idx"].to_numpy(),
+            df["ts"].to_numpy(),
+            df["value"].to_numpy(),
+            cfg,
+        )
+    ).sort_values(["tier", "conv_id", "bucket_ts"]).reset_index(drop=True)
+    want = _oracle(df, cfg)
+    assert len(got) == len(want)
+    for col in ("n_turns", "value_mean", "value_min", "value_max"):
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    for col in ("sampen", "permen", "sampen_raw", "permen_raw"):
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
+
+
+def test_skew_guard_strides_long_windows(rng):
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "conv_id": ["hot"] * n,
+            "turn_idx": np.arange(n),
+            "ts": 1_700_000_000_000_000 + np.arange(n) * 4_000_000,  # ~22h
+            "value": rng.normal(size=n) * 100 + 300,
+        }
+    )
+    cfg = RollupConfig(tiers=("1d",), max_window_points=1000)
+    out = rollup_windows(
+        df["conv_id"].to_numpy(dtype=object),
+        df["turn_idx"].to_numpy(),
+        df["ts"].to_numpy(),
+        df["value"].to_numpy(),
+        cfg,
+    )
+    # stats exact over all points, entropy over the strided subsample
+    assert out["n_turns"].sum() == n
+    assert np.isfinite(out["sampen"]).all()
+
+
+def test_empty_input():
+    cfg = RollupConfig()
+    out = rollup_windows(
+        np.empty(0, dtype=object), np.empty(0), np.empty(0), np.empty(0), cfg
+    )
+    assert all(len(v) == 0 for v in out.values())
