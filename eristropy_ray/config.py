@@ -32,6 +32,9 @@ class RollupConfig:
            deterministically strided down to this many points for the
            entropy kernels only (O(n²) SampEn on an unbounded hot window
            would be the straggler; stats stay exact over all points).
+           2048 keeps every window on the O(n²)-vectorized matrix path
+           with ~35 MB peak per kernel call; SampEn estimates are stable
+           well below this length.
         preprocess: "difference" applies first-differencing before the
            headline entropy columns (the reference's stationarity
            preprocessing, stationarity.py:237-241); "none" uses raw values.
@@ -44,7 +47,7 @@ class RollupConfig:
     r_frac: float = 0.2
     permen_order: int = 3
     min_window: int = 4
-    max_window_points: int = 8192
+    max_window_points: int = 2048
     preprocess: str = "difference"
     num_partitions: int = 0
 

@@ -43,14 +43,29 @@ SAMPEN_MATRIX_MAX_N = 4096
 
 def _sampen_matrix(x: np.ndarray, m: int, r: float) -> float:
     n = x.size
-    match = np.abs(x[:, None] - x[None, :]) < r
+    # build the boolean match matrix in row chunks so the float64
+    # difference intermediate stays cache-sized (8x less memory traffic
+    # than materializing the full n x n float matrix — this kernel is
+    # bandwidth-bound under many concurrent Ray tasks)
+    match = np.empty((n, n), dtype=bool)
+    blk = max(1, 2_000_000 // max(n, 1))
+    buf = np.empty((min(blk, n), n), dtype=np.float64)
+    for s in range(0, n, blk):
+        e = min(s + blk, n)
+        d = np.subtract(x[s:e, None], x[None, :], out=buf[: e - s])
+        np.abs(d, out=d)
+        np.less(d, r, out=match[s:e])
+    del buf
     run = match
     for k in range(1, m):
         run = run[:-1, :-1] & match[k:, k:]
-    # run[i, j] <=> length-m templates starting at i and j match
-    b = int(np.triu(run[: n - m, : n - m], 1).sum())
+    # run[i, j] <=> length-m templates starting at i and j match.
+    # The matrix is symmetric with an all-True diagonal, so the i<j pair
+    # count is (total - diag) / 2 — no triu mask allocation.
+    q = n - m
+    b = (int(run[:q, :q].sum()) - q) // 2
     run = run[:-1, :-1] & match[m:, m:]
-    a = int(np.triu(run, 1).sum())
+    a = (int(run.sum()) - (n - m)) // 2
     if a == 0:
         return math.nan
     return -math.log(a / b)

@@ -71,6 +71,61 @@ def rollup_dataset(
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def rollup_files_colocated(
+    files: list[str], cfg: RollupConfig = RollupConfig()
+) -> rd.Dataset:
+    """Zero-shuffle fast path for conversation-partitioned input layouts.
+
+    CONTRACT: every conversation's turns live entirely inside one input
+    file (the synthesizer guarantees this; a production ingest at 10^12
+    turns would bucket-by-conv at write time for exactly this reason —
+    it converts the one big all-to-all exchange into embarrassingly
+    parallel per-file tasks). One read task per file; project + full
+    multi-tier rollup fused into a single ``map_batches`` whole-block
+    task. Output blocks are conversation-complete, so the downstream
+    encode stage can also run block-local without a shuffle
+    (``encode_blocks_colocated``).
+
+    For unpartitioned inputs use ``rollup_dataset`` (bucketed mode), which
+    pays the hash shuffle to establish the same co-location.
+    """
+    import pyarrow as pa
+
+    from eristropy_ray.stages.rollup import _rollup_table
+
+    # A dataset of file paths with batch_size=1 guarantees exactly one
+    # task per file. (read_parquet + override_num_blocks is only a hint:
+    # Ray's dynamic block splitting can still cut a file — and therefore a
+    # conversation — across blocks, which silently breaks the window
+    # contract. Observed in practice on the hot-conversation file.)
+    paths = rd.from_items([{"path": f} for f in files])
+
+    def read_project_rollup(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tables = [
+            pq.read_table(p, columns=TRANSCRIPT_READ_COLUMNS)
+            for p in batch["path"].to_pylist()
+        ]
+        turns = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        return _rollup_table(project_turns(turns), cfg)
+
+    return paths.map_batches(
+        read_project_rollup, batch_format="pyarrow", batch_size=1
+    )
+
+
+def encode_blocks_colocated(
+    rollup: rd.Dataset, enc_cfg: EncodeConfig = EncodeConfig()
+) -> rd.Dataset:
+    """Block-local encode for conversation-complete rollup blocks (the
+    output shape of ``rollup_files_colocated``). No shuffle."""
+    from eristropy_ray.stages.encode import make_partition_encode_fn
+
+    fn = make_partition_encode_fn(enc_cfg)
+    return rollup.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def encode_dataset(
     rollup: rd.Dataset,
     cfg: RollupConfig = RollupConfig(),

@@ -58,20 +58,18 @@ def _conv_arrays(i: int, seed: int, mean_turns: int, hot_factor: int) -> dict:
     if i == 0:
         n *= hot_factor
     n = max(n, 4)
-    # message-length dynamics: AR(1) around a drifting baseline
+    # message-length dynamics: geometric moving average of noise around a
+    # drifting baseline (vectorized; AR(1)-like autocorrelation)
     base = rng.uniform(20, 200)
     drift = rng.uniform(-0.05, 0.05)
     noise = rng.normal(scale=base * 0.25, size=n)
-    ar = np.empty(n)
-    acc = 0.0
     phi = rng.uniform(0.2, 0.8)
-    for t in range(n):  # short scalar loop per conv; conv counts are modest
-        acc = phi * acc + noise[t]
-        ar[t] = acc
-    lengths = np.clip(np.round(base + drift * np.arange(n) + ar), 1, 4000).astype(
+    kernel = phi ** np.arange(8)
+    ma = np.convolve(noise, kernel)[:n]
+    lengths = np.clip(np.round(base + drift * np.arange(n) + ma), 1, 4000).astype(
         np.int64
     )
-    gaps = rng.integers(3_000_000, 45_000_000, size=n)  # 3-45 s between turns
+    gaps = rng.integers(2_000_000, 12_000_000, size=n)  # 2-12 s between turns
     start = _EPOCH_US + int(rng.integers(0, 30)) * 86_400_000_000 + int(
         rng.integers(0, 86_400)
     ) * 1_000_000
@@ -89,11 +87,30 @@ def _conv_arrays(i: int, seed: int, mean_turns: int, hot_factor: int) -> dict:
 _PAD = "the quick brown fox jumps over the lazy dog " * 100
 
 
-def _texts_from_lengths(lengths: np.ndarray) -> list[str]:
+def _text_array_from_lengths(lengths: np.ndarray) -> pa.Array:
+    """Vectorized Arrow string column where row i is a prefix of the pad
+    text of length ``lengths[i]`` — built directly from offset buffers, no
+    per-row Python strings."""
     pad = _PAD
     while len(pad) < int(lengths.max(initial=0)):
         pad += pad
-    return [pad[:n] for n in lengths.tolist()]
+    pad_np = np.frombuffer(pad.encode("ascii"), dtype=np.uint8)
+    lengths = lengths.astype(np.int64)
+    offsets = np.zeros(lengths.size + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    # position within each row: global index minus the row's start offset
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    data = pad_np[within]
+    return pa.StringArray.from_buffers(
+        lengths.size,
+        pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(data.tobytes()),
+    )
+
+
+def _texts_from_lengths(lengths: np.ndarray) -> pa.Array:
+    return _text_array_from_lengths(np.asarray(lengths))
 
 
 def synthesize_transcripts(
@@ -110,7 +127,7 @@ def synthesize_transcripts(
     ``_SPEC`` marker, generation is skipped.
     """
     out = Path(out_dir)
-    spec = f"v1:{n_convs}:{mean_turns}:{seed}:{n_files}:{hot_factor}"
+    spec = f"v2:{n_convs}:{mean_turns}:{seed}:{n_files}:{hot_factor}"
     marker = out / "_SPEC"
     if marker.exists() and marker.read_text() == spec:
         return str(out)
@@ -137,9 +154,7 @@ def synthesize_transcripts(
                 "conv_id": pa.array(cols["conv_id"][perm], pa.string()),
                 "turn_idx": pa.array(cols["turn_idx"][perm], pa.int32()),
                 "role": pa.array(cols["role"][perm], pa.string()),
-                "text": pa.array(
-                    _texts_from_lengths(cols["lengths"][perm]), pa.string()
-                ),
+                "text": _texts_from_lengths(cols["lengths"][perm]),
                 "tool": pa.array(cols["tool"][perm], pa.string()),
                 "ts": pa.array(cols["ts"][perm], pa.timestamp("us")),
             }
@@ -192,7 +207,7 @@ def fixture_transcripts() -> pa.Table:
                     "conv_id": pa.array([name] * n, pa.string()),
                     "turn_idx": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
                     "role": pa.array(["user", "assistant"] * (n // 2), pa.string()),
-                    "text": pa.array(_texts_from_lengths(lengths), pa.string()),
+                    "text": _texts_from_lengths(lengths),
                     "tool": pa.array([""] * n, pa.string()),
                     "ts": pa.array(ts, pa.timestamp("us")),
                 }

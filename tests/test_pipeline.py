@@ -124,3 +124,34 @@ def test_synthesizer_deterministic(tmp_path):
     d2 = synthesize_transcripts(tmp_path / "b", n_convs=6, mean_turns=15, n_files=2)
     for f1, f2 in zip(sorted(glob.glob(f"{d1}/*.parquet")), sorted(glob.glob(f"{d2}/*.parquet"))):
         assert pq.read_table(f1).equals(pq.read_table(f2))
+
+
+def test_colocated_matches_bucketed(ray_session, tmp_path):
+    """The zero-shuffle fast path produces the same rollup rows as the
+    generic bucketed mode on a conversation-partitioned layout."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from eristropy_ray.pipelines.rollup import (
+        encode_blocks_colocated,
+        rollup_dataset,
+        rollup_files_colocated,
+    )
+    from eristropy_ray.pipelines.rollup import TRANSCRIPT_READ_COLUMNS
+    from eristropy_ray.sources.transcripts import synthesize_transcripts
+
+    d = synthesize_transcripts(
+        tmp_path / "tx", n_convs=10, mean_turns=25, n_files=3, hot_factor=4
+    )
+    files = sorted(_glob.glob(f"{d}/*.parquet"))
+    cfg = RollupConfig()
+    a = _sorted_rollup(rollup_files_colocated(files, cfg))
+    b = _sorted_rollup(
+        rollup_dataset(
+            rd.read_parquet(files, columns=TRANSCRIPT_READ_COLUMNS), cfg
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
+    blocks = encode_blocks_colocated(rollup_files_colocated(files, cfg)).to_pandas()
+    assert blocks["n_points"].sum() > 0
