@@ -34,7 +34,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # ~40M turns/sf-unit: sf0.1 -> ~4M turns (sized so compute dominates the
 # fixed per-session overheads at both scaling-bench parallelism levels)
 _TURNS_PER_SF = 40_000_000
-_BENCH_FILES = 64  # same input layout at every num_cpus level
+_BENCH_FILES = 256  # same input layout at every num_cpus level; ~4 waves at 32 CPUs
 
 
 def _sf_value(sf_dir: str) -> float:

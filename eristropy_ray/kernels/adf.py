@@ -105,6 +105,10 @@ def adfuller_c(x: np.ndarray, maxlag: int | None = None) -> tuple[float, float, 
     """
     x = np.ascontiguousarray(x, dtype=np.float64)
     n = x.size
+    if n and np.all(x == x[0]):
+        # statsmodels raises "Invalid input, x is constant"; callers map
+        # the ValueError to the reference's p = 1.0 fallback
+        raise ValueError("invalid input, x is constant")
     if maxlag is None:
         maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
         maxlag = min(n // 2 - 2, maxlag)

@@ -342,6 +342,58 @@ def q_tier_blocks(sf_dir: str):
     )
 
 
+def q_stationary_signals(sf_dir: str):
+    """Full StationarySignals flow (difference -> ADF -> Holm-Sidak ->
+    semi-join filter -> z-score) on the events signal table (rows-only)."""
+    from eristropy_ray.pipelines.stationary import (
+        StationaryConfig,
+        make_stationary_signals,
+    )
+
+    out, _ = make_stationary_signals(
+        _events_signals(sf_dir), StationaryConfig(method="difference")
+    )
+    return out.select_columns(["signal_id", "ts_us", "value"])
+
+
+def q_sampen_optimized(sf_dir: str):
+    """SampleEntropy.compute_all_sampen(optimize=True) analogue with a
+    deterministic TPE-lite search (rows-only)."""
+    import warnings
+
+    from eristropy_ray.pipelines.entropy import (
+        SampEnConfig,
+        SampEnSettingWarning,
+        compute_all_sampen,
+    )
+
+    from eristropy_ray.stages.signals import zscore_plain_partition
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(random_seed=17, n_boot=20, n_trials=10, m=2)
+    # the reference's r_range is for normalized signals (the
+    # StationarySignals output) — z-score first, as its flow does
+    normalized = _grouped(_events_signals(sf_dir), zscore_plain_partition)
+    out, _ = compute_all_sampen(
+        normalized, cfg, optimize=True, estimate_uncertainty=True
+    )
+    return out
+
+
+def q_sampen_efficiency(sf_dir: str):
+    """SampEnEfficiency grid path: Lake analytic r* + per-signal SampEn
+    and analytic SE (rows-only)."""
+    from eristropy_ray.pipelines.entropy import sampen_efficiency
+    from eristropy_ray.stages.signals import zscore_plain_partition
+
+    normalized = _grouped(_events_signals(sf_dir), zscore_plain_partition)
+    out, _ = sampen_efficiency(
+        normalized, m=2, r_range=(0.1, 0.5), random_seed=17
+    )
+    return out
+
+
 QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
@@ -359,6 +411,9 @@ QUERIES = {
     "adf_stationarity": q_adf_stationarity,
     "transcript_rollup": q_transcript_rollup,
     "tier_blocks": q_tier_blocks,
+    "stationary_signals": q_stationary_signals,
+    "sampen_optimized": q_sampen_optimized,
+    "sampen_efficiency": q_sampen_efficiency,
 }
 
 

@@ -116,3 +116,26 @@ def adf_partition(df: pd.DataFrame) -> pd.DataFrame:
         rows["pvalue"].append(adf_pvalue_or_one(v[s:e]))
         rows["n_obs"].append(int(e - s))
     return pd.DataFrame(rows)
+
+
+def zscore_plain_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """A4 z-score with plain float accumulation (library semantics —
+    pandas groupby().transform((x-mean)/std), ddof=1). The integer-micro
+    variant above exists for binary-exact SQL-oracle comparison and would
+    quantize tiny detrended residuals; this one does not."""
+    sdf, starts, _ = _sorted_groups(df)
+    v = sdf["value"].to_numpy(dtype=np.float64)
+    if v.size == 0:
+        return sdf.iloc[0:0][["signal_id", "ts_us", "value"]]
+    counts = np.diff(np.append(starts, v.size))
+    sums = np.add.reduceat(v, starts)
+    means = sums / counts
+    rep = np.repeat(np.arange(starts.size), counts)
+    centered = v - means[rep]
+    ssq = np.add.reduceat(centered * centered, starts)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        std = np.sqrt(ssq / np.maximum(counts - 1, 0))
+    out = sdf[["signal_id", "ts_us"]].copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["value"] = centered / std[rep]
+    return out

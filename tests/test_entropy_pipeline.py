@@ -1,0 +1,142 @@
+"""SampleEntropy / SampEnEfficiency pipelines: the reference test suite's
+contracts (determinism, failure modes, warnings, invariants) from
+tests/test_sample_entropy.py."""
+
+import math
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from eristropy_ray.pipelines.entropy import (
+    OptimizationFailureWarning,
+    SampEnConfig,
+    SampEnSettingWarning,
+    compute_all_sampen,
+    find_optimal_sampen_params,
+    _collect_signals,
+    sampen_efficiency,
+)
+
+
+def _normal_signals(n_sig=5, n=200, seed=17):
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=n_sig * n)
+    return pd.DataFrame(
+        {
+            "signal_id": np.repeat(np.arange(n_sig), n),
+            "ts_us": np.tile(np.arange(n), n_sig),
+            "value": vals,
+        }
+    )
+
+
+def test_fixed_params_compute(ray_session):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(m=2, r=0.2, p=0.5, n_boot=20, n_trials=5)
+    out, info = compute_all_sampen(
+        _normal_signals(), cfg, estimate_uncertainty=True
+    )
+    assert len(out) == 5
+    assert (out["sampen"] > 0).all()
+    assert (out["se_sampen"] >= 0).all()
+
+
+def test_varlen_signals(ray_session):
+    rng = np.random.default_rng(17)
+    frames = []
+    for sid, n in enumerate((200, 150, 250)):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "signal_id": sid,
+                    "ts_us": np.arange(n),
+                    "value": rng.normal(size=n),
+                }
+            )
+        )
+    df = pd.concat(frames)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(m=1, r=0.25, n_boot=10, n_trials=5)
+    out, _ = compute_all_sampen(df, cfg)
+    assert len(out) == 3 and np.isfinite(out["sampen"]).all()
+
+
+def test_optimize_deterministic(ray_session):
+    df = _normal_signals(n_sig=2, n=80)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(random_seed=17, n_boot=10, n_trials=8)
+    best1, _ = find_optimal_sampen_params(_collect_signals(df), cfg)
+    best2, _ = find_optimal_sampen_params(_collect_signals(df), cfg)
+    assert best1 == best2
+    assert cfg.m_range[0] <= best1["m"] <= cfg.m_range[1]
+    assert cfg.r_range[0] <= best1["r"] <= cfg.r_range[1]
+    assert cfg.p_range[0] <= best1["p"] <= cfg.p_range[1]
+
+
+def test_optimization_failure_nan_stars(ray_session):
+    df = _normal_signals(n_sig=2, n=15)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(
+            random_seed=17, n_boot=5, n_trials=3,
+            r_range=(1e-9, 2e-9), m_range=(2, 3),
+        )
+    with pytest.warns(OptimizationFailureWarning):
+        best, _ = find_optimal_sampen_params(_collect_signals(df), cfg)
+    assert math.isnan(best["m"]) and math.isnan(best["r"])
+    with pytest.raises(ValueError, match="Invalid m or r"):
+        compute_all_sampen(df, cfg, optimize=True)
+
+
+def test_compute_without_params_raises(ray_session):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(n_boot=20, n_trials=5)
+    with pytest.raises(ValueError, match="Invalid m or r"):
+        compute_all_sampen(_normal_signals(), cfg)
+
+
+def test_uncertainty_without_p_raises(ray_session):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(m=2, r=0.2, n_boot=20, n_trials=5)
+    with pytest.raises(ValueError, match="bootstrap"):
+        compute_all_sampen(_normal_signals(), cfg, estimate_uncertainty=True)
+
+
+def test_min_length_guard(ray_session):
+    df = _normal_signals(n_sig=2, n=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(m=2, r=0.2, n_boot=10, n_trials=5)
+    with pytest.raises(ValueError, match="shortest"):
+        compute_all_sampen(df, cfg)
+
+
+def test_boundary_warnings():
+    with pytest.warns(SampEnSettingWarning):
+        SampEnConfig(r=0.05, n_boot=100, n_trials=100)  # r below r_range
+    with pytest.warns(SampEnSettingWarning):
+        SampEnConfig(n_boot=5, n_trials=100)  # low n_boot
+
+
+def test_sampen_efficiency(ray_session):
+    import ray.data as rd
+
+    df = _normal_signals(n_sig=3, n=150)
+    out, info = sampen_efficiency(
+        rd.from_pandas(df), m=2, r_range=(0.1, 0.5), random_seed=3
+    )
+    assert len(out) == 3
+    assert 0.1 <= info["r_star_"] <= 0.51
+    assert (out["se_sampen"] > 0).all()
+    out2, info2 = sampen_efficiency(
+        rd.from_pandas(df), m=2, r_range=(0.1, 0.5), random_seed=3
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    assert info["r_star_"] == info2["r_star_"]
