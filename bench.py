@@ -31,9 +31,12 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# ~40M turns/sf-unit: sf0.1 -> ~4M turns (sized so compute dominates the
-# fixed per-session overheads at both scaling-bench parallelism levels)
-_TURNS_PER_SF = 40_000_000
+# ~40M turns/sf-unit: sf0.1 -> ~4M turns. The scaling bench multiplies
+# this (GRAFT_TURNS_PER_SF env) so compute dominates fixed per-session
+# overheads at both parallelism levels — the analogue of measuring cluster
+# scaling at production scale rather than on a toy input.
+_TURNS_PER_SF = int(os.environ.get("GRAFT_TURNS_PER_SF", 40_000_000))
+_SCALING_TURNS_PER_SF = 160_000_000
 _BENCH_FILES = 256  # same input layout at every num_cpus level; ~4 waves at 32 CPUs
 
 
@@ -154,7 +157,11 @@ def main() -> None:
 def scaling() -> None:
     results = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_TURNS_PER_SF=str(_SCALING_TURNS_PER_SF),
+        )
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
             env=env,

@@ -53,9 +53,14 @@ def permen(
     n_win = codes.size
     if n_win == 0:
         return math.nan
-    _, counts = np.unique(codes, return_counts=True)
+    # dense-K accumulation (zeros contribute exactly 0.0) so the scalar
+    # and batched (kernels/batch_entropy.py) paths share one summation
+    # grouping — numpy's pairwise sum is sensitive to element count
+    counts = np.bincount(codes, minlength=order**order)
     p = counts / n_win
-    h = float(-(p * np.log(p)).sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(counts > 0, p * np.log(p), 0.0)
+    h = float(-terms.sum())
     if normalize:
         h /= math.log(math.factorial(order))
     return h

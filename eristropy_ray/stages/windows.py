@@ -49,13 +49,60 @@ ROLLUP_COLUMNS = (
 
 
 def _entropy_pair(x: np.ndarray, cfg: RollupConfig) -> tuple[float, float]:
-    """(sampen, permen) of one window series with the derived radius."""
+    """(sampen, permen) of one window series with the derived radius
+    (scalar path, used for windows longer than the batch classes)."""
     if x.size > cfg.max_window_points:
         stride = -(-x.size // cfg.max_window_points)  # ceil division
         x = x[::stride]
     sd = float(x.std())
     r = cfg.r_frac * sd if sd > 0.0 else 1.0
     return sampen(x, cfg.m, r), permen(x, order=cfg.permen_order)
+
+
+# padded-batch window-length classes; windows longer than the last class
+# take the scalar path (few — 1h/1d windows of long conversations)
+_BATCH_CLASSES = (16, 128)
+
+
+def _window_entropies(
+    v: np.ndarray,
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    eligible: np.ndarray,
+    cfg: RollupConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sampen, permen) arrays over all windows; NaN where not eligible.
+
+    Small windows (the overwhelming majority — the 1m tier) go through the
+    padded batch kernels in length classes; large windows fall back to the
+    scalar kernels with the deterministic stride cap. A window's path is a
+    pure function of its length, so results are placement-independent.
+    """
+    from eristropy_ray.kernels.batch_entropy import (
+        gather_padded,
+        masked_radius,
+        permen_padded,
+        sampen_padded,
+    )
+
+    n_win = lengths.size
+    s_out = np.full(n_win, np.nan)
+    p_out = np.full(n_win, np.nan)
+    lo = 0
+    for L in _BATCH_CLASSES:
+        sel = np.flatnonzero(eligible & (lengths > lo) & (lengths <= L))
+        lo = L
+        if sel.size == 0:
+            continue
+        P = gather_padded(v, starts[sel], lengths[sel], L)
+        r = masked_radius(P, lengths[sel], cfg.r_frac)
+        s_out[sel] = sampen_padded(P, lengths[sel], cfg.m, r)
+        p_out[sel] = permen_padded(P, lengths[sel], cfg.permen_order)
+    for w in np.flatnonzero(eligible & (lengths > _BATCH_CLASSES[-1])):
+        s_out[w], p_out[w] = _entropy_pair(
+            v[starts[w] : starts[w] + lengths[w]], cfg
+        )
+    return s_out, p_out
 
 
 def rollup_windows(
@@ -103,21 +150,18 @@ def rollup_windows(
         stds = np.sqrt(var)
 
         n_win = starts.size
-        se = np.append(starts, codes.size)
-        s_diff = np.full(n_win, np.nan)
-        p_diff = np.full(n_win, np.nan)
-        s_raw = np.full(n_win, np.nan)
-        p_raw = np.full(n_win, np.nan)
         use_diff = cfg.preprocess == "difference"
-        for w in range(n_win):
-            n = counts[w]
-            if n < cfg.min_window:
-                continue
-            x = v[se[w] : se[w + 1]]
-            s_raw[w], p_raw[w] = _entropy_pair(x, cfg)
-            if use_diff:
-                s_diff[w], p_diff[w] = _entropy_pair(np.diff(x), cfg)
-        if not use_diff:
+        eligible = counts >= cfg.min_window
+        s_raw, p_raw = _window_entropies(v, starts, counts, eligible, cfg)
+        if use_diff:
+            dv = np.empty(v.size)
+            if v.size:
+                dv[0] = 0.0
+                np.subtract(v[1:], v[:-1], out=dv[1:])
+            s_diff, p_diff = _window_entropies(
+                dv, starts + 1, counts - 1, eligible, cfg
+            )
+        else:
             s_diff, p_diff = s_raw, p_raw
 
         out["conv_id"].append(uniques[codes[starts]])
