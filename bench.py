@@ -67,7 +67,7 @@ def run_flagship(sf: float) -> dict:
 
     from eristropy_ray.config import EncodeConfig, RollupConfig
     from eristropy_ray.pipelines.rollup import (
-        encode_blocks_colocated,
+        fused_rollup_encode_colocated,
         rollup_files_colocated,
     )
 
@@ -87,9 +87,9 @@ def run_flagship(sf: float) -> dict:
     rollup_files_colocated(files[:NUM_CPUS], cfg).materialize()
 
     t0 = time.time()
-    rollup = rollup_files_colocated(files, cfg).materialize()
-    rollup.write_parquet(f"{out_dir}/rollup", partition_cols=["tier"])
-    blocks = encode_blocks_colocated(rollup, EncodeConfig())
+    blocks = fused_rollup_encode_colocated(
+        files, f"{out_dir}/rollup", cfg, EncodeConfig()
+    )
     blocks.write_parquet(f"{out_dir}/blocks", partition_cols=["tier"])
     wall = time.time() - t0
     return {"sec": wall, "turns": n_turns, "turns_per_sec": n_turns / wall}
@@ -134,7 +134,9 @@ def main() -> None:
 
     sf = _sf_value(SF_DIR)
     flagship = run_flagship(sf)
-    queries = run_queries(SF_DIR)
+    queries = (
+        {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(SF_DIR)
+    )
     ray.shutdown()
 
     print(
@@ -155,12 +157,18 @@ def main() -> None:
 
 
 def scaling() -> None:
+    """Two N->4N pairs, fresh processes each: (8, 32) — the canonical
+    levels, fully subscribing the 32-CPU box so the top level competes
+    with Ray's own system processes and the shared DRAM bus — and
+    (4, 16), the same 4x ratio with headroom, which is the closer
+    analogue of adding NODES (where memory bandwidth scales with N)."""
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (4, 8, 16, 32):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_TURNS_PER_SF=str(_SCALING_TURNS_PER_SF),
+            GRAFT_SKIP_QUERIES="1",
         )
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
@@ -170,17 +178,15 @@ def scaling() -> None:
             check=True,
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    tput8 = results[8]["turns_per_sec"]
-    tput32 = results[32]["turns_per_sec"]
+    t = {n: results[n]["turns_per_sec"] for n in results}
     print(
         json.dumps(
             {
-                "metric": "N->4N scaling (num_cpus 8 vs 32, fresh sessions)",
-                "sec_8": results[8]["value"],
-                "sec_32": results[32]["value"],
-                "turns_per_sec_8": tput8,
-                "turns_per_sec_32": tput32,
-                "scaling_efficiency": round((tput32 / tput8) / 4.0, 3),
+                "metric": "N->4N scaling (fresh sessions, same input)",
+                "sec": {str(n): results[n]["value"] for n in results},
+                "turns_per_sec": t,
+                "scaling_efficiency_8_32": round((t[32] / t[8]) / 4.0, 3),
+                "scaling_efficiency_4_16": round((t[16] / t[4]) / 4.0, 3),
                 "sf": results[32]["sf"],
                 "turns": results[32]["turns"],
             }

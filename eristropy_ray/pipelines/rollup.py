@@ -39,6 +39,19 @@ from eristropy_ray.state.metrics import MetricsLog
 TRANSCRIPT_READ_COLUMNS = ["conv_id", "turn_idx", "text", "ts"]
 
 
+def _pin_arrow_threads() -> None:
+    """Cap Arrow's global thread pools inside Ray workers.
+
+    Each worker defaults to a CPU-count-sized Arrow pool; with 32
+    concurrent single-CPU tasks that's 32x oversubscription on reads and
+    decompression. Idempotent, once per worker process."""
+    import pyarrow as _pa
+
+    if _pa.cpu_count() != 1:
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
+
+
 def _default_partitions(cfg: RollupConfig) -> int:
     if cfg.num_partitions:
         return cfg.num_partitions
@@ -103,6 +116,7 @@ def rollup_files_colocated(
     def read_project_rollup(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        _pin_arrow_threads()
         tables = [
             pq.read_table(p, columns=TRANSCRIPT_READ_COLUMNS)
             for p in batch["path"].to_pylist()
@@ -124,6 +138,56 @@ def encode_blocks_colocated(
 
     fn = make_partition_encode_fn(enc_cfg)
     return rollup.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def fused_rollup_encode_colocated(
+    files: list[str],
+    rows_out_dir: str,
+    cfg: RollupConfig = RollupConfig(),
+    enc_cfg: EncodeConfig = EncodeConfig(),
+) -> rd.Dataset:
+    """Single-pass flagship for conversation-partitioned layouts.
+
+    Each task: read its file -> project -> all-tier rollup -> CHECKPOINT
+    the rollup rows itself (atomic tmp+rename, hive-partitioned by tier,
+    one file per (input file, tier)) -> return the gap-filled compressed
+    blocks. One map stage, zero Dataset barriers — the returned Dataset
+    streams blocks straight into its sink while later files are still
+    being read. The per-task side-effect write is idempotent (same input
+    file -> same output path), so Ray task retries are safe.
+    """
+    import pyarrow as pa
+
+    from eristropy_ray.stages.encode import make_partition_encode_fn
+    from eristropy_ray.stages.rollup import _rollup_table
+
+    encode_fn = make_partition_encode_fn(enc_cfg)
+    paths = rd.from_items([{"path": f} for f in files])
+
+    def task(batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        _pin_arrow_threads()
+        tables = [
+            pq.read_table(p, columns=TRANSCRIPT_READ_COLUMNS)
+            for p in batch["path"].to_pylist()
+        ]
+        stem = Path(batch["path"][0].as_py()).stem
+        turns = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        rollup = _rollup_table(project_turns(turns), cfg)
+        tiers = rollup["tier"].to_numpy(zero_copy_only=False)
+        for tier in dict.fromkeys(tiers.tolist()):
+            sub = rollup.filter(pa.array(tiers == tier))
+            d = Path(rows_out_dir) / f"tier={tier}"
+            d.mkdir(parents=True, exist_ok=True)
+            tmp = d / f".{stem}.parquet.tmp"
+            pq.write_table(sub.drop_columns(["tier"]), tmp)
+            os.replace(tmp, d / f"{stem}.parquet")
+        return encode_fn(rollup)
+
+    return paths.map_batches(task, batch_format="pyarrow", batch_size=1)
 
 
 def encode_dataset(

@@ -60,7 +60,8 @@ def _entropy_pair(x: np.ndarray, cfg: RollupConfig) -> tuple[float, float]:
 
 
 # padded-batch window-length classes; windows longer than the last class
-# take the scalar path (few — 1h/1d windows of long conversations)
+# take the scalar path (few — 1h/1d windows of very long conversations).
+# Each class pads to the actual max length present, not the class bound.
 _BATCH_CLASSES = (16, 128)
 
 
@@ -94,7 +95,8 @@ def _window_entropies(
         lo = L
         if sel.size == 0:
             continue
-        P = gather_padded(v, starts[sel], lengths[sel], L)
+        L_eff = int(lengths[sel].max())
+        P = gather_padded(v, starts[sel], lengths[sel], L_eff)
         r = masked_radius(P, lengths[sel], cfg.r_frac)
         s_out[sel] = sampen_padded(P, lengths[sel], cfg.m, r)
         p_out[sel] = permen_padded(P, lengths[sel], cfg.permen_order)

@@ -1,0 +1,169 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from eristropy_ray.datapipe.dedup import (
+    embedding_neardup_pairs,
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature_batch,
+    simhash64,
+    simhash_chunk_keys,
+    word_shingle_hashes,
+)
+from eristropy_ray.datapipe.multimodal import (
+    BinaryFeatureStage,
+    fake_embedding,
+    sniff_format,
+)
+from eristropy_ray.datapipe.similarity import IVFIndex, knn_topk_batch, unit_rows
+from eristropy_ray.datapipe.textstats import (
+    content_hash64,
+    langid_predict,
+    rolling_kgram_hashes,
+    winnow_fingerprints,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_B = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_C = "completely different content about databases and shuffle joins"
+
+
+def test_minhash_similar_docs_collide():
+    sigs = minhash_signature_batch([DOC_A, DOC_B, DOC_C], num_perm=64)
+    sim_ab = (sigs[0] == sigs[1]).mean()
+    sim_ac = (sigs[0] == sigs[2]).mean()
+    assert sim_ab > 0.6 > sim_ac
+    band_id, band_hash = lsh_band_keys(sigs, n_bands=16)
+    keys = {
+        doc: {(int(b), int(h)) for b, h in zip(band_id[doc * 16:(doc + 1) * 16],
+                                                band_hash[doc * 16:(doc + 1) * 16])}
+        for doc in range(3)
+    }
+    assert keys[0] & keys[1]  # near-dups share a band bucket
+    assert not (keys[0] & keys[2])
+
+
+def test_minhash_deterministic():
+    a = minhash_signature_batch([DOC_A], num_perm=32)
+    b = minhash_signature_batch([DOC_A], num_perm=32)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_jaccard_verification():
+    assert jaccard(DOC_A, DOC_A) == 1.0
+    assert jaccard(DOC_A, DOC_B) > 0.7
+    assert jaccard(DOC_A, DOC_C) < 0.05
+
+
+def test_shingles_short_text():
+    h = word_shingle_hashes("one two", k=3)
+    assert h.size == 1  # degenerate doc -> single hash
+
+
+def test_simhash_near_and_far():
+    sa, sb, sc = simhash64(DOC_A), simhash64(DOC_B), simhash64(DOC_C)
+    assert hamming64(sa, sb) < hamming64(sa, sc)
+    assert simhash64(DOC_A) == sa  # deterministic
+    ka = set(simhash_chunk_keys(sa))
+    kb = set(simhash_chunk_keys(sb))
+    if hamming64(sa, sb) <= 3:
+        assert ka & kb  # pigeonhole guarantee
+    assert simhash64("") == 0
+
+
+def test_embedding_neardup(rng):
+    base = rng.normal(size=(20, 16))
+    emb = np.vstack([base, base[3] + rng.normal(scale=1e-3, size=16)])
+    ids = np.arange(21)
+    pairs = embedding_neardup_pairs(emb, ids, tau=0.99)
+    assert (3, 20) in [(a, b) for a, b, _ in pairs]
+
+
+def test_knn_matches_bruteforce(rng):
+    corpus = rng.normal(size=(300, 32))
+    unit = unit_rows(corpus)
+    ids = np.arange(300)
+    q = corpus[:5]
+    got_ids, got_sims = knn_topk_batch(q, unit, ids, k=10)
+    sims_full = unit_rows(q) @ unit.T
+    for i in range(5):
+        order = np.lexsort((ids, -sims_full[i]))[:10]
+        np.testing.assert_array_equal(got_ids[i], ids[order])
+
+
+def test_ivf_recall(rng):
+    corpus = rng.normal(size=(500, 24))
+    ids = np.arange(500)
+    index = IVFIndex.build(corpus, ids, n_cells=16, seed=7)
+    queries = corpus[rng.choice(500, size=20, replace=False)]
+    unit = unit_rows(corpus)
+    exact_ids, _ = knn_topk_batch(queries, unit, ids, k=10)
+    got_ids, _ = index.search(queries, k=10, n_probe=6)
+    recalls = [
+        len(set(g.tolist()) & set(e.tolist())) / 10
+        for g, e in zip(got_ids, exact_ids)
+    ]
+    assert np.mean(recalls) > 0.8  # probing 6/16 cells
+
+
+def test_langid_heuristic():
+    assert langid_predict("the cat and the dog are in the house") == "en"
+    assert langid_predict("der Hund und die Katze sind nicht in der Stadt") == "de"
+    assert langid_predict("le chat est dans la maison avec le chien") == "fr"
+    assert langid_predict("el perro y el gato en la casa por la noche") == "es"
+    assert langid_predict("这是一个中文句子") == "zh"
+    assert langid_predict("xyzzy qwerty plugh") == "unknown"
+
+
+def test_fingerprints():
+    fa = winnow_fingerprints(DOC_A, k=5, w=4)
+    fb = winnow_fingerprints(DOC_B, k=5, w=4)
+    fc = winnow_fingerprints(DOC_C, k=5, w=4)
+    overlap_ab = np.intersect1d(fa, fb).size / min(fa.size, fb.size)
+    overlap_ac = np.intersect1d(fa, fc).size / max(min(fa.size, fc.size), 1)
+    assert overlap_ab > 0.6 > overlap_ac
+    assert content_hash64(DOC_A) != content_hash64(DOC_B)
+    assert content_hash64(DOC_A) == content_hash64(DOC_A)
+    assert rolling_kgram_hashes("abc", k=5).size == 0
+    # rolling-hash locality: the same k-gram anywhere hashes the same
+    h1 = rolling_kgram_hashes("xx hello yy", k=5)
+    h2 = rolling_kgram_hashes("aa hello bb", k=5)
+    assert np.intersect1d(h1, h2).size > 0
+
+
+def test_multimodal_stage(ray_session):
+    import ray.data as rd
+
+    payloads = [b"\x89PNG\r\n\x1a\n" + bytes(range(50)), b"\xff\xd8\xffrest", b""]
+    t = pa.table(
+        {"item_id": pa.array([1, 2, 3], pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            BinaryFeatureStage(extractor="fake"),
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("item_id")
+    )
+    assert list(out["format"]) == ["png", "jpeg", "unknown"]
+    assert list(out["n_bytes"]) == [58, 7, 0]
+    emb = np.stack(out["embedding"].to_numpy())
+    assert emb.shape == (3, 8)
+    np.testing.assert_array_equal(emb[0], fake_embedding(payloads[0]))
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    stage = BinaryFeatureStage(extractor="real")
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+    assert sniff_format(b"OggSdata") == "ogg"
