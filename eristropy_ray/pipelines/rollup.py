@@ -213,12 +213,17 @@ def run_rollup_job(
     n_shards: int = 4,
     resume: bool = True,
     mode: str = "bucketed",
+    layout: str = "unpartitioned",
 ) -> dict:
     """Checkpointed, resumable rollup over a list of transcript files.
 
     Shards = contiguous input-file groups (conversations never span files).
     Completed shards (manifest + output present) are skipped on resume.
     Emits per-(stage, shard) lineage metrics. Returns a summary dict.
+
+    ``layout="conv_files"`` uses the fused single-pass colocated path
+    (each conversation contained in one input file); ``"unpartitioned"``
+    pays the hash shuffle (bucketed mode) and works for any layout.
     """
     out = Path(out_dir)
     manifest = Manifest(out)
@@ -233,6 +238,28 @@ def run_rollup_job(
             continue
         if resume and manifest.is_complete(shard_id, "encode"):
             summary["shards_skipped"] += 1
+            continue
+        if layout == "conv_files":
+            t0 = time.time()
+            rows_path = str(out / "rollup" / f"shard={shard_id}")
+            blocks_path = str(out / "blocks" / f"shard={shard_id}")
+            blocks = fused_rollup_encode_colocated(files, rows_path, cfg, enc_cfg)
+            blocks.write_parquet(blocks_path, partition_cols=["tier"])
+            n_rows = rd.read_parquet(rows_path).count()
+            n_blocks = rd.read_parquet(blocks_path).count()
+            t1 = time.time()
+            metrics.emit(
+                stage="rollup", shard=shard_id, rows_out=n_rows,
+                input_files=len(files), wall_s=round(t1 - t0, 3),
+            )
+            metrics.emit(
+                stage="encode", shard=shard_id, rows_out=n_blocks,
+                wall_s=round(t1 - t0, 3),
+            )
+            manifest.mark_complete(shard_id, "rollup", rows_path, n_rows, t1 - t0)
+            manifest.mark_complete(shard_id, "encode", blocks_path, n_blocks, t1 - t0)
+            summary["rows"] += n_rows
+            summary["blocks"] += n_blocks
             continue
         t0 = time.time()
         turns = rd.read_parquet(files, columns=TRANSCRIPT_READ_COLUMNS)

@@ -155,3 +155,38 @@ def test_colocated_matches_bucketed(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     blocks = encode_blocks_colocated(rollup_files_colocated(files, cfg)).to_pandas()
     assert blocks["n_points"].sum() > 0
+
+
+def test_job_fused_layout_and_resume(ray_session, tmp_path):
+    """conv_files layout: fused single-pass path, same manifest/resume
+    contract, and its rollup checkpoint equals the bucketed job's rows."""
+    import ray.data as rd
+
+    from eristropy_ray.pipelines.rollup import run_rollup_job
+    from eristropy_ray.sources.transcripts import synthesize_transcripts
+
+    d = synthesize_transcripts(
+        tmp_path / "tx", n_convs=10, mean_turns=24, n_files=4, hot_factor=3
+    )
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    out_a = str(tmp_path / "fused")
+    out_b = str(tmp_path / "bucketed")
+    s1 = run_rollup_job(files, out_a, n_shards=2, layout="conv_files")
+    s2 = run_rollup_job(files, out_b, n_shards=2, layout="unpartitioned")
+    assert s1["rows"] == s2["rows"] and s1["rows"] > 0
+    a = (
+        rd.read_parquet(f"{out_a}/rollup")
+        .to_pandas()
+        .sort_values(["tier", "conv_id", "bucket_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    b = (
+        rd.read_parquet(f"{out_b}/rollup")
+        .to_pandas()
+        .sort_values(["tier", "conv_id", "bucket_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    cols = [c for c in a.columns if c not in ("shard", "tier")]
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    s3 = run_rollup_job(files, out_a, n_shards=2, layout="conv_files")
+    assert s3["shards_skipped"] == 2
