@@ -12,12 +12,15 @@ deltas exceed the paper's 32-bit bucket:
     D in [-2^31, 2^31-1]    -> '11110' + 32 bits
     otherwise               -> '11111' + 64 bits
 
-Values in buckets are stored offset (zigzag-free, like the paper: D + bias
-with bias = bucket_max so e.g. [-63, 64] maps onto [1, 127]). Header:
-uint32 count, int64 first timestamp, int64 first delta (when n >= 2).
+All delta arithmetic is performed modulo 2^64 (two's complement), so the
+codec round-trips EVERY int64 stream bit-exactly — including pathological
+jumps whose deltas overflow a signed 64-bit difference (verified by
+hypothesis in tests/test_codecs_property.py). Values in buckets are
+stored offset (D + bucket_max - 1, like the paper). Header: uint32 count,
+int64 first timestamp, int64 first (wrapped) delta when n >= 2.
 
-Rollup bucket timestamps are regular after gap-fill, so almost every point
-costs one bit.
+Rollup bucket timestamps are regular after gap-fill, so almost every
+point costs one bit.
 """
 
 from __future__ import annotations
@@ -32,6 +35,11 @@ _BUCKETS = (
     (2048, 0b1110, 4, 12),
     (1 << 31, 0b11110, 5, 32),
 )
+_M64 = (1 << 64) - 1
+
+
+def _to_signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 def dod_encode(ts: np.ndarray) -> bytes:
@@ -43,11 +51,13 @@ def dod_encode(ts: np.ndarray) -> bytes:
     header += int(t[0]).to_bytes(8, "big", signed=True)
     if n == 1:
         return header
-    deltas = np.diff(t)
-    header += int(deltas[0]).to_bytes(8, "big", signed=True)
+    u = t.view(np.uint64)
+    deltas = np.subtract(u[1:], u[:-1])  # uint64 wraparound
+    header += int(deltas[0] & np.uint64(_M64)).to_bytes(8, "big")
     out = BitWriter()
-    dods = np.diff(deltas)
-    for dod in dods.tolist():
+    dods = np.subtract(deltas[1:], deltas[:-1])  # wraparound again
+    for dod_u in dods.tolist():
+        dod = _to_signed(dod_u)
         if dod == 0:
             out.write(0, 1)
             continue
@@ -58,7 +68,7 @@ def dod_encode(ts: np.ndarray) -> bytes:
                 break
         else:
             out.write(0b11111, 5)
-            out.write(dod & ((1 << 64) - 1), 64)
+            out.write(dod_u, 64)
     return header + out.getvalue()
 
 
@@ -67,23 +77,23 @@ def dod_decode(data: bytes) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    out[0] = int.from_bytes(data[4:12], "big", signed=True)
+    prev = int.from_bytes(data[4:12], "big", signed=True)
+    out[0] = prev
     if n == 1:
         return out
-    delta = int.from_bytes(data[12:20], "big", signed=True)
-    out[1] = out[0] + delta
+    delta = int.from_bytes(data[12:20], "big")  # unsigned wrapped delta
+    prev = (prev + delta) & _M64
+    out[1] = _to_signed(prev)
     reader = BitReader(data[20:])
     for i in range(2, n):
-        if reader.read(1) == 0:
-            out[i] = out[i - 1] + delta
-            continue
-        for hi, _prefix, plen, vbits in _BUCKETS:
-            if reader.read(1) == 0:
-                dod = reader.read(vbits) - hi + 1
-                break
-        else:
-            raw = reader.read(64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        out[i] = out[i - 1] + delta
+        if reader.read(1) == 1:
+            for hi, _prefix, plen, vbits in _BUCKETS:
+                if reader.read(1) == 0:
+                    dod = reader.read(vbits) - hi + 1
+                    break
+            else:
+                dod = reader.read(64)
+            delta = (delta + dod) & _M64
+        prev = (prev + delta) & _M64
+        out[i] = _to_signed(prev)
     return out

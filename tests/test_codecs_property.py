@@ -1,0 +1,47 @@
+"""Property-based codec round-trips (hypothesis): any float64 stream —
+including NaN payload bits, infinities, subnormals — and any int64
+timestamp stream must round-trip bit-exactly."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eristropy_ray.codecs.dod import dod_decode, dod_encode
+from eristropy_ray.codecs.gorilla import gorilla_decode, gorilla_encode
+
+finite_or_special = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.floats(min_value=-1e-300, max_value=1e-300),  # subnormal territory
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(finite_or_special, max_size=120))
+def test_gorilla_roundtrip_any_floats(vals):
+    v = np.array(vals, dtype=np.float64)
+    got = gorilla_decode(gorilla_encode(v))
+    np.testing.assert_array_equal(v.view(np.uint64), got.view(np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1), max_size=100
+    )
+)
+def test_dod_roundtrip_any_timestamps(ts):
+    # deltas/dods overflow-safe within +-2^62 inputs
+    t = np.array(ts, dtype=np.int64)
+    got = dod_decode(dod_encode(t))
+    np.testing.assert_array_equal(t, got)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**40),
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=80),
+)
+def test_dod_monotone_streams(start, deltas):
+    t = start + np.cumsum(np.array([0, *deltas], dtype=np.int64))
+    got = dod_decode(dod_encode(t))
+    np.testing.assert_array_equal(t, got)

@@ -1,0 +1,128 @@
+"""Cascade / retention / incremental-update maintenance operators."""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from eristropy_ray.config import RollupConfig
+from eristropy_ray.pipelines.maintain import (
+    apply_retention,
+    cascade_stats,
+    update_windows_incremental,
+)
+from eristropy_ray.stages.windows import rollup_windows
+
+
+def _turns(rng, n_convs=4, n=300, start=1_700_000_000_000_000):
+    frames = []
+    for c in range(n_convs):
+        ts = start + c * 7_200_000_000 + np.cumsum(
+            rng.integers(2_000_000, 12_000_000, size=n)
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": f"c{c}",
+                    "turn_idx": np.arange(n, dtype=np.int64),
+                    "ts": ts.astype(np.int64),
+                    "value": rng.integers(1, 500, size=n).astype(np.float64),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _rollup_df(df, cfg):
+    cols = rollup_windows(
+        df["conv_id"].to_numpy(dtype=object),
+        df["turn_idx"].to_numpy(),
+        df["ts"].to_numpy(),
+        df["value"].to_numpy(),
+        cfg,
+    )
+    out = pd.DataFrame(cols)
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"], unit="us")
+    return out
+
+
+def test_cascade_stats_match_direct(rng):
+    cfg = RollupConfig()
+    df = _turns(rng)
+    rollup = _rollup_df(df, cfg)
+    fine = rollup[rollup.tier == "1m"]
+    for coarse in ("1h", "1d"):
+        cascaded = cascade_stats(fine, coarse).reset_index(drop=True)
+        direct = (
+            rollup[rollup.tier == coarse]
+            .sort_values(["conv_id", "bucket_ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert len(cascaded) == len(direct)
+        for col in ("n_turns", "value_min", "value_max"):
+            np.testing.assert_array_equal(
+                cascaded[col].to_numpy(), direct[col].to_numpy(), err_msg=col
+            )
+        # integer-micro cascade sums equal the engine's reduceat sums to
+        # micro precision (the engine sums raw doubles)
+        np.testing.assert_allclose(
+            cascaded["value_sum"].to_numpy(),
+            direct["value_sum"].to_numpy(),
+            atol=1e-5,
+        )
+
+
+def test_incremental_update_equals_full_recompute(rng):
+    cfg = RollupConfig()
+    df = _turns(rng)
+    # hold out a contiguous chunk of one conversation as "late" turns
+    late_mask = (df["conv_id"] == "c1") & (df["turn_idx"] >= 250)
+    initial = df[~late_mask]
+    late = df[late_mask]
+    rollup_initial = _rollup_df(initial, cfg)
+    updated = update_windows_incremental(rollup_initial, initial, late, cfg)
+    full = _rollup_df(df, cfg)
+    key = ["conv_id", "tier", "bucket_ts"]
+    updated = updated.sort_values(key, kind="stable").reset_index(drop=True)
+    full = full.sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        updated[full.columns], full, check_exact=True
+    )
+
+
+def test_incremental_replay_is_idempotent(rng):
+    cfg = RollupConfig()
+    df = _turns(rng, n_convs=2, n=100)
+    rollup = _rollup_df(df, cfg)
+    replay = df[df["conv_id"] == "c0"].iloc[40:60]
+    updated = update_windows_incremental(rollup, df, replay, cfg)
+    key = ["conv_id", "tier", "bucket_ts"]
+    pd.testing.assert_frame_equal(
+        updated.sort_values(key, kind="stable").reset_index(drop=True)[rollup.columns],
+        rollup.sort_values(key, kind="stable").reset_index(drop=True),
+        check_exact=True,
+    )
+
+
+def test_retention(ray_session, tmp_path):
+    from eristropy_ray.pipelines.rollup import run_rollup_job
+    from eristropy_ray.sources.transcripts import synthesize_transcripts
+
+    d = synthesize_transcripts(
+        tmp_path / "tx", n_convs=8, mean_turns=20, n_files=2, hot_factor=2
+    )
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    out = str(tmp_path / "out")
+    run_rollup_job(files, out, n_shards=1, layout="conv_files")
+    n_before = len(list((tmp_path / "out").glob("**/tier=1m/*.parquet")))
+    assert n_before > 0
+    # far-future "now": every 1m file expired; 1d retained
+    now = 3_000_000_000_000_000
+    deleted = apply_retention(
+        out, now, {"1m": 60_000_000, "1d": 10**18}
+    )
+    assert deleted["1m"] >= n_before
+    assert deleted["1d"] == 0
+    assert not list((tmp_path / "out").glob("**/tier=1m/*.parquet"))
+    assert list((tmp_path / "out").glob("**/tier=1d/*.parquet"))
