@@ -1,17 +1,22 @@
 """Flagship pipeline: transcripts -> entropy rollups -> retention tiers.
 
-Logical plan (SURVEY.md §4.2):
+Three physical plans over one logical plan (SURVEY.md §4.2), fastest
+first:
 
-    read_parquet(transcripts, columns=[conv_id, turn_idx, text, ts])
-      └─ map_batches: project + derive value = len(text)      [stateless]
-      └─ map_batches: add part = hash(conv_id) % P            [stateless]
-      └─ groupby(part).map_groups(RollupPartition)            [shuffle 1 —
-           the ONE full shuffle; each task rolls up a whole hash bucket
-           of conversations across all tiers in one vectorized pass]
-      └─ (rows output)  write_parquet partitioned by tier
-      └─ groupby(part).map_groups(EncodePartition)            [shuffle 2 —
-           windows-sized data only: gap-fill + Gorilla/DoD blocks]
-      └─ (blocks output) write_parquet partitioned by tier
+1. ``fused_rollup_encode_colocated`` (conversation-partitioned files —
+   the production ingest layout): ZERO shuffles, one task per file does
+   read → project(value=len(text)) → all-tier windowed rollup → atomic
+   rollup-row checkpoint → gap-fill + Gorilla/DoD blocks; the block
+   stream goes straight to the Parquet sink with no barriers.
+
+2. ``rollup_files_colocated`` + ``encode_blocks_colocated``: same layout,
+   separate stages (used when the rollup rows feed other consumers).
+
+3. ``rollup_dataset(mode="bucketed")`` (any layout): ONE hash shuffle —
+   ``part = hash(conv_id) % P`` then ``groupby(part).map_groups`` over
+   whole hash buckets (per-task Python cost O(P), not O(windows));
+   ``mode="window_groups"`` is the reference-shaped (conv, day) exact
+   grouping kept as a correctness cross-check.
 
 Streaming properties: no driver-side materialization of the turn table;
 the rollup output is ~windows-sized (orders smaller than input); blocks
