@@ -54,7 +54,7 @@ def _transcripts_dir(sf: float) -> str:
     mean_turns = 120
     n_convs = max(int(_TURNS_PER_SF * sf / mean_turns), 20)
     return synthesize_transcripts(
-        f"/tmp/eristropy_ray/bench_tx_sf{sf}",
+        f"/tmp/eristropy_ray/bench_tx_sf{sf}_t{_TURNS_PER_SF}",
         n_convs=n_convs,
         mean_turns=mean_turns,
         n_files=_BENCH_FILES,

@@ -632,6 +632,87 @@ def q_ann_ivf(sf_dir: str, k: int = 5):
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def q_sample_events(sf_dir: str):
+    """Deterministic systematic sample (the reproducible analogue of
+    random_sample; exact SQL oracle)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b["event_id"], np.int64(15)), np.int64(3))
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_top_users(sf_dir: str, k: int = 10):
+    """Top-k users by observation count (count desc, user_id asc)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n_obs"))
+    return counts.sort(["n_obs", "user_id"], descending=[True, False]).limit(k)
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join: orders x customer (small side shipped once via
+    ray.put), then exact-decimal revenue per market segment — the A3-style
+    broadcast-join pattern generalized to a dimension lookup."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        seg_of = _ray.get(lookup_ref)
+        seg = df["o_custkey"].map(seg_of)
+        price_mu = np.round(df["o_totalprice"].to_numpy() * 1e6).astype(np.int64)
+        out = pd.DataFrame({"c_mktsegment": seg, "price_mu": price_mu})
+        g = out.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("price_mu", "size"), sum_mu=("price_mu", "sum")
+        )
+        return g.reset_index()
+
+    partials = orders.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_mu", alias_name="sum_mu"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        sum_mu = b["sum_mu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = sum_mu.astype(np.float64) / 1e6
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": pa.array(n, pa.int64()),
+                "total_price": pa.array(total, pa.float64()),
+                "avg_price": pa.array(total / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
@@ -659,6 +740,9 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
+    "sample_events": q_sample_events,
+    "top_users": q_top_users,
+    "orders_by_segment": q_orders_by_segment,
 }
 
 
@@ -729,6 +813,22 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          / CAST(length(text) AS DOUBLE) AS upper_ratio
 FROM documents
+""",
+    "sample_events": """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+FROM events WHERE event_id & 15 = 3
+""",
+    "top_users": """
+SELECT user_id, COUNT(*) AS n_obs FROM events
+GROUP BY user_id ORDER BY n_obs DESC, user_id LIMIT 10
+""",
+    "orders_by_segment": """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """,
     "doc_bytes": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
