@@ -202,8 +202,11 @@ def encode_dataset(
 ) -> rd.Dataset:
     """Rollup rows -> gap-filled compressed tier blocks (lazy)."""
     nparts = max(_default_partitions(cfg) // 4, 4)
+    # no day salt here: gap-fill needs a conversation's ENTIRE tier
+    # series in one group to build the dense bucket grid
     keyed = rollup.map_batches(
-        lambda b: add_partition_key(b, nparts), batch_format="pyarrow"
+        lambda b: add_partition_key(b, nparts, salt_by_day=False),
+        batch_format="pyarrow",
     )
     return keyed.groupby("part").map_groups(
         make_partition_encode_fn(enc_cfg), batch_format="pyarrow"

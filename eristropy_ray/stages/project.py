@@ -43,20 +43,33 @@ def project_turns(batch: pa.Table) -> pa.Table:
     )
 
 
-def add_partition_key(batch: pa.Table, num_partitions: int) -> pa.Table:
-    """Append ``part = hash64(conv_id) % num_partitions``.
+def add_partition_key(
+    batch: pa.Table, num_partitions: int, salt_by_day: bool = True
+) -> pa.Table:
+    """Append the hash-bucket shuffle key (SURVEY.md §7.3 shuffle 1).
 
-    Uses pandas' vectorized, process-stable string hash — the explicit
-    hash-bucket shuffle key (SURVEY.md §7.3 shuffle 1). All turns of one
-    conversation land in one partition; skew across partitions is bounded
-    by hash uniformity over conversations, and a single pathological
-    conversation is bounded separately by the (conv, day) window grouping
-    and ``max_window_points``.
+    ``salt_by_day=True`` (default) keys on ``hash(conv_id) ^ mix(day)`` —
+    the salted-key repartitioning for hot conversations: a pathological
+    conversation with months of turns spreads across partitions at day
+    granularity, while every (conv, day) unit — hence every window of
+    every tier <= 1d — stays intact inside one partition. With
+    ``salt_by_day=False`` whole conversations co-locate (required only if
+    windows coarser than the salt period were added).
+
+    Uses pandas' vectorized, process-stable string hash; skew across
+    partitions is bounded by hash uniformity over (conv, day) units, and
+    per-window cost by ``max_window_points``.
     """
+    import numpy as np
     import pandas as pd
 
     conv = batch["conv_id"].to_pandas()
-    part = (pd.util.hash_pandas_object(conv, index=False) % num_partitions).astype(
-        "int64"
-    )
-    return batch.append_column("part", pa.array(part.to_numpy(), pa.int64()))
+    h = pd.util.hash_pandas_object(conv, index=False).to_numpy()
+    if salt_by_day:
+        from eristropy_ray.config import TIER_STEPS_US
+
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // TIER_STEPS_US["1d"]).astype(np.uint64)
+        h = h ^ (day * np.uint64(0x9E3779B97F4A7C15))
+    part = (h % np.uint64(num_partitions)).astype("int64")
+    return batch.append_column("part", pa.array(part, pa.int64()))
