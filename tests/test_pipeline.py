@@ -190,3 +190,31 @@ def test_job_fused_layout_and_resume(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a[cols], b[cols])
     s3 = run_rollup_job(files, out_a, n_shards=2, layout="conv_files")
     assert s3["shards_skipped"] == 2
+
+
+def test_actor_pool_rollup_matches_tasks(ray_session, tmp_path):
+    import ray.data as rd
+
+    from eristropy_ray.pipelines.rollup import (
+        RollupFileActor,
+        rollup_files_colocated,
+    )
+    from eristropy_ray.sources.transcripts import synthesize_transcripts
+
+    d = synthesize_transcripts(
+        tmp_path / "tx", n_convs=8, mean_turns=20, n_files=2, hot_factor=2
+    )
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    cfg = RollupConfig()
+    a = _sorted_rollup(rollup_files_colocated(files, cfg))
+    paths = rd.from_items([{"path": f} for f in files])
+    b = _sorted_rollup(
+        paths.map_batches(
+            RollupFileActor,
+            fn_constructor_args=(cfg,),
+            concurrency=2,
+            batch_size=1,
+            batch_format="pyarrow",
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
