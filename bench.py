@@ -36,7 +36,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # overheads at both parallelism levels — the analogue of measuring cluster
 # scaling at production scale rather than on a toy input.
 _TURNS_PER_SF = int(os.environ.get("GRAFT_TURNS_PER_SF", 40_000_000))
-_SCALING_TURNS_PER_SF = 320_000_000
+_SCALING_TURNS_PER_SF = 160_000_000
 _BENCH_FILES = 256  # same input layout at every num_cpus level; ~4 waves at 32 CPUs
 
 
