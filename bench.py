@@ -105,6 +105,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "sampen_per_signal",
         "dedup_exact",
         "similarity_topk",
+        "knn_all",
+        "minhash_neardup",
+        "orders_by_segment",
         "transcript_rollup",
     ]
     timings = {}
