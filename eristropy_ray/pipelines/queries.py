@@ -713,6 +713,22 @@ def q_orders_by_segment(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_sessions(sf_dir: str):
+    """Gap-based session windows over each user's event stream (streaming
+    op; exact integer outputs vs a window-function SQL oracle)."""
+    from eristropy_ray.stages.signals import sessionize_partition
+
+    return _grouped(_events_signals(sf_dir), sessionize_partition)
+
+
+def q_rolling_mean(sf_dir: str):
+    """Rolling mean over the last 5 events per user (exact via
+    integer-micro prefix sums)."""
+    from eristropy_ray.stages.signals import rolling_mean_partition
+
+    return _grouped(_events_signals(sf_dir), rolling_mean_partition)
+
+
 QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
@@ -743,6 +759,8 @@ QUERIES = {
     "sample_events": q_sample_events,
     "top_users": q_top_users,
     "orders_by_segment": q_orders_by_segment,
+    "sessions": q_sessions,
+    "rolling_mean": q_rolling_mean,
 }
 
 
@@ -813,6 +831,34 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          / CAST(length(text) AS DOUBLE) AS upper_ratio
 FROM documents
+""",
+    "sessions": """
+WITH marked AS (
+  SELECT user_id AS signal_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT signal_id, ts_us,
+         SUM(new_s) OVER (PARTITION BY signal_id
+                          ORDER BY ts_us, event_id) AS session_id
+  FROM marked
+)
+SELECT signal_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess GROUP BY 1, 2
+""",
+    "rolling_mean": """
+SELECT user_id AS signal_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / LEAST(CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS DOUBLE), 5.0) AS value
+FROM events
 """,
     "sample_events": """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, value

@@ -139,3 +139,72 @@ def zscore_plain_partition(df: pd.DataFrame) -> pd.DataFrame:
     with np.errstate(invalid="ignore", divide="ignore"):
         out["value"] = centered / std[rep]
     return out
+
+
+def sessionize_partition(
+    df: pd.DataFrame, gap_us: int = 1_800_000_000
+) -> pd.DataFrame:
+    """Session windows: split each signal's ordered stream at inactivity
+    gaps > ``gap_us`` (net-new streaming op; tumbling tiers are the
+    flagship, this is the event-driven window shape). Output one row per
+    (signal, session): n_events, start_us, end_us, duration_us — all
+    integers, so the DuckDB window-function oracle matches exactly."""
+    sdf, starts, _ = _sorted_groups(df)
+    ts = sdf["ts_us"].to_numpy(dtype=np.int64)
+    n = ts.size
+    if n == 0:
+        return pd.DataFrame(
+            columns=["signal_id", "session_id", "n_events", "start_us",
+                     "end_us", "duration_us"]
+        )
+    new_session = np.ones(n, dtype=np.int64)
+    gaps_ok = np.zeros(n, dtype=bool)
+    gaps_ok[1:] = (ts[1:] - ts[:-1]) <= gap_us
+    gaps_ok[starts] = False  # first row of each signal starts a session
+    new_session[gaps_ok] = 0
+    session_id = np.cumsum(new_session)
+    # renumber per signal (1-based like SUM OVER in the SQL oracle)
+    first_of_signal = session_id[starts]
+    rep = np.repeat(np.arange(starts.size), np.diff(np.append(starts, n)))
+    session_id = session_id - first_of_signal[rep] + 1
+    out = pd.DataFrame(
+        {
+            "signal_id": sdf["signal_id"],
+            "session_id": session_id,
+            "ts_us": ts,
+        }
+    )
+    g = out.groupby(["signal_id", "session_id"], sort=True).agg(
+        n_events=("ts_us", "size"),
+        start_us=("ts_us", "min"),
+        end_us=("ts_us", "max"),
+    )
+    g = g.reset_index()
+    g["duration_us"] = g["end_us"] - g["start_us"]
+    return g
+
+
+def rolling_mean_partition(df: pd.DataFrame, window: int = 5) -> pd.DataFrame:
+    """Exact rolling mean over the last ``window`` rows per signal
+    (integer-micro prefix sums; matches the DuckDB ROWS-frame oracle
+    bit-for-bit)."""
+    sdf, starts, _ = _sorted_groups(df)
+    v = sdf["value"].to_numpy(dtype=np.float64)
+    n = v.size
+    if n == 0:
+        return sdf.iloc[0:0][["signal_id", "ts_us", "value"]]
+    vmu = np.round(v * 1e6).astype(np.int64)
+    counts = np.diff(np.append(starts, n))
+    pos = np.arange(n) - np.repeat(starts, counts)  # index within signal
+    cs = np.cumsum(vmu)
+    prev = np.zeros(n, dtype=np.int64)
+    base = np.repeat(np.where(starts > 0, cs[starts - 1], 0), counts)
+    back = np.maximum(pos - window, -1) + np.repeat(starts, counts)
+    has_back = pos >= window
+    prev[has_back] = cs[back[has_back]]
+    prev[~has_back] = base[~has_back]
+    wsum = (cs - prev).astype(np.float64) / 1e6
+    wcount = np.minimum(pos + 1, window).astype(np.float64)
+    out = sdf[["signal_id", "ts_us"]].copy()
+    out["value"] = wsum / wcount
+    return out
