@@ -33,6 +33,16 @@ def main(argv: list[str] | None = None) -> int:
                         help="only used when this process must init Ray itself")
     args = parser.parse_args(argv)
 
+    from eristropy_ray.config import TIER_STEPS_US
+
+    bad = [t for t in args.tiers.split(",") if t not in TIER_STEPS_US]
+    if bad:
+        print(
+            f"unknown tier(s) {bad}; valid: {sorted(TIER_STEPS_US)}",
+            file=sys.stderr,
+        )
+        return 2
+
     import ray
 
     if not ray.is_initialized():
