@@ -729,6 +729,81 @@ def q_rolling_mean(sf_dir: str):
     return _grouped(_events_signals(sf_dir), rolling_mean_partition)
 
 
+def q_event_types(sf_dir: str):
+    """Distinct values (set op; ds.unique is the same shuffle — done via
+    groupby for a deterministic, oracle-matched output)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary over lineitem: grouped exact-decimal
+    sums and means (classic OLAP shape on the biggest table)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty_mu = np.round(df["l_quantity"].to_numpy() * 1e6).astype(np.int64)
+        price_mu = np.round(df["l_extendedprice"].to_numpy() * 1e6).astype(np.int64)
+        disc = df["l_discount"].to_numpy()
+        price = df["l_extendedprice"].to_numpy()
+        # disc_price rounded to micro per row BEFORE summing, so the
+        # DuckDB DECIMAL(24,6) cast of the identical double matches
+        disc_price_mu = np.round(price * (1.0 - disc) * 1e6).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": df["l_returnflag"],
+                    "l_linestatus": df["l_linestatus"],
+                    "qty_mu": qty_mu,
+                    "price_mu": price_mu,
+                    "disc_price_mu": disc_price_mu,
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                n_rows=("qty_mu", "size"),
+                qty_mu=("qty_mu", "sum"),
+                price_mu=("price_mu", "sum"),
+                disc_price_mu=("disc_price_mu", "sum"),
+            )
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("qty_mu", alias_name="qty_mu"),
+        Sum("price_mu", alias_name="price_mu"),
+        Sum("disc_price_mu", alias_name="disc_price_mu"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = b["qty_mu"].to_numpy(zero_copy_only=False) / 1e6
+        price = b["price_mu"].to_numpy(zero_copy_only=False) / 1e6
+        disc_price = b["disc_price_mu"].to_numpy(zero_copy_only=False) / 1e6
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "n_rows": pa.array(n, pa.int64()),
+                "sum_qty": pa.array(qty, pa.float64()),
+                "sum_base_price": pa.array(price, pa.float64()),
+                "sum_disc_price": pa.array(disc_price, pa.float64()),
+                "avg_qty": pa.array(qty / n, pa.float64()),
+                "avg_price": pa.array(price / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
@@ -761,6 +836,8 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "sessions": q_sessions,
     "rolling_mean": q_rolling_mean,
+    "event_types": q_event_types,
+    "pricing_summary": q_pricing_summary,
 }
 
 
@@ -831,6 +908,21 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          / CAST(length(text) AS DOUBLE) AS upper_ratio
 FROM documents
+""",
+    "event_types": """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
 """,
     "sessions": """
 WITH marked AS (

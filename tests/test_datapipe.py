@@ -167,3 +167,23 @@ def test_multimodal_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
     assert sniff_format(b"OggSdata") == "ogg"
+
+
+def test_benchmark_frame_reproduces_reference_generator():
+    """sources/benchmark_signals reproduces gp_benchmark.py:10-47 exactly
+    (same rng(17) draw order: b first, then the (t, n) noise matrix)."""
+    from eristropy_ray.sources.benchmark_signals import make_benchmark_frame
+
+    t, n = 50, 4
+    df = make_benchmark_frame(t, n)
+    assert list(df.columns) == ["signal_id", "ts_us", "value"]
+    assert len(df) == t * n
+    rng = np.random.default_rng(17)
+    bs = rng.uniform(low=3 / t, high=5 / t, size=(n,))
+    noise = rng.normal(loc=0.0, scale=0.1, size=(t, n))
+    want = (bs * np.tile(np.arange(t).reshape(-1, 1), (1, n))).T.flatten() + noise.T.flatten()
+    np.testing.assert_array_equal(df["value"].to_numpy(), want)
+    # deterministic across calls
+    np.testing.assert_array_equal(
+        df["value"].to_numpy(), make_benchmark_frame(t, n)["value"].to_numpy()
+    )
