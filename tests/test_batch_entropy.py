@@ -82,3 +82,45 @@ def test_masked_radius_matches_moment_formula(rng):
     P = gather_padded(v, starts, lengths, int(lengths.max()))
     r = masked_radius(P, lengths, 0.2)
     assert (r > 0).all()
+
+
+def test_padded_kernels_hypothesis():
+    """Property form of the exactness contract: ANY ragged float windows
+    with ANY positive radii produce bit-identical results to the scalar
+    kernels."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=1,
+                max_size=24,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        st.floats(min_value=1e-6, max_value=10.0),
+        st.integers(min_value=1, max_value=3),
+    )
+    def inner(windows, r_val, m):
+        lengths = np.array([len(w) for w in windows])
+        v = np.concatenate([np.asarray(w, dtype=np.float64) for w in windows])
+        starts = np.zeros(lengths.size, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        P = gather_padded(v, starts, lengths, int(lengths.max()))
+        r = np.full(lengths.size, r_val)
+        got_s = sampen_padded(P, lengths, m, r)
+        got_p = permen_padded(P, lengths, order=3)
+        for w in range(lengths.size):
+            x = v[starts[w] : starts[w] + lengths[w]]
+            want_s = sampen(x, m, r_val)
+            want_p = permen(x, order=3)
+            assert (math.isnan(want_s) and math.isnan(got_s[w])) or want_s == got_s[w]
+            assert (math.isnan(want_p) and math.isnan(got_p[w])) or want_p == got_p[w]
+
+    inner()

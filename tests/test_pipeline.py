@@ -218,3 +218,37 @@ def test_actor_pool_rollup_matches_tasks(ray_session, tmp_path):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_encode_multi_block_roundtrip(ray_session):
+    """A (conv, tier) series longer than max_points splits into several
+    blocks that decode back to the full gap-filled series."""
+    import pyarrow as pa
+
+    from eristropy_ray.config import TIER_STEPS_US
+    from eristropy_ray.stages.encode import decode_blocks, make_partition_encode_fn
+
+    n = 30
+    step = TIER_STEPS_US["1m"]
+    buckets = np.arange(n, dtype=np.int64) * step + 1_700_000_000_000_000
+    buckets = np.delete(buckets, [7, 8, 20])  # punch gaps
+    vals = np.sin(np.arange(buckets.size) / 3.0)
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * buckets.size),
+            "tier": pa.array(["1m"] * buckets.size),
+            "bucket_ts": pa.array(buckets, pa.timestamp("us")),
+            "sampen": pa.array(vals, pa.float64()),
+            "permen": pa.array(vals * 0.5, pa.float64()),
+            "value_mean": pa.array(vals + 2, pa.float64()),
+        }
+    )
+    cfg = EncodeConfig(max_points=8)
+    blocks = make_partition_encode_fn(cfg)(t)
+    assert blocks.num_rows == 4  # 30 dense points / 8 per block
+    assert blocks["gap_filled_points"].to_pylist().count(0) < 4
+    decoded = decode_blocks(blocks, cfg.columns).sort_values("bucket_ts")
+    assert len(decoded) == 30  # dense grid restored
+    # observed points round-trip exactly
+    obs = decoded[decoded["bucket_ts"].isin(buckets)]
+    np.testing.assert_array_equal(obs["sampen"].to_numpy(), vals)
