@@ -1,8 +1,11 @@
-"""SampEn conformance: bit-for-bit vs a direct transliteration of the
-reference's run-length kernel (utils.py:144-193) plus the reference test
-suite's analytic invariants (tests/test_utils.py:143-191)."""
+"""SampEn conformance: bit-for-bit against golden vectors generated from
+the reference's run-length kernel (utils.py:144-193; the generating
+transliteration is not kept in-repo), plus the reference test suite's
+analytic invariants (tests/test_utils.py:143-191)."""
 
+import json
 import math
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -14,44 +17,21 @@ from eristropy_ray.kernels.sampen import (
     sampen_auto_r,
 )
 
-
-def _sampen_reference_loop(x, m, r):
-    """Direct port of the reference algorithm — the conformance oracle."""
-    n = x.size
-    run = np.zeros(n, dtype=np.int32)
-    lastrun = np.zeros(n, dtype=np.int32)
-    m += 1
-    a = np.zeros(m)
-    b = np.zeros(m)
-    for i in range(n - 1):
-        nj = n - i - 1
-        x1 = x[i]
-        for jj in range(nj):
-            j = jj + i + 1
-            if abs(x[j] - x1) < r:
-                run[jj] = lastrun[jj] + 1
-                m1 = min(m, run[jj])
-                for order in range(m1):
-                    a[order] += 1.0
-                    if j < n - 1:
-                        b[order] += 1.0
-            else:
-                run[jj] = 0
-        for j in range(nj):
-            lastrun[j] = run[j]
-    if a[-1] == 0.0:
-        return math.nan
-    return -math.log(a[m - 1] / b[m - 2])
+_GOLDEN = json.loads(
+    (Path(__file__).parent / "data" / "reference_golden.json").read_text()
+)
 
 
-def test_bit_for_bit_vs_reference_loop(rng):
-    for _ in range(80):
-        n = int(rng.integers(5, 140))
-        m = int(rng.integers(1, 4))
-        x = rng.normal(size=n)
-        r = float(rng.uniform(0.05, 1.5))
-        want = _sampen_reference_loop(x, m, r)
-        got = sampen(x, m, r)
+def _f(hex_str):
+    return np.frombuffer(bytes.fromhex(hex_str), dtype=np.float64)
+
+
+def test_bit_for_bit_vs_reference_golden():
+    for case in _GOLDEN["sampen"]:
+        x = _f(case["x_hex"])
+        r = float(_f(case["r_hex"])[0])
+        want = float(_f(case["want_hex"])[0])
+        got = sampen(x, case["m"], r)
         assert (math.isnan(want) and math.isnan(got)) or want == got
 
 
