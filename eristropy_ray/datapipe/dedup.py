@@ -60,19 +60,6 @@ def minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray
     return a, b
 
 
-def minhash_signature(
-    shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
-) -> np.ndarray:
-    """(num_perm,) minhash signature via universal hashing mod 2^61-1."""
-    h = shingle_hashes.astype(np.object_)  # python ints: exact mod-arith
-    sig = np.empty(a.size, dtype=np.uint64)
-    m = _MERSENNE
-    for i in range(a.size):
-        vals = (int(a[i]) * h + int(b[i])) % m
-        sig[i] = np.uint64(int(vals.min()))
-    return sig
-
-
 def minhash_signature_batch(
     texts: list[str], num_perm: int = 64, shingle_k: int = 3, seed: int = 1
 ) -> np.ndarray:

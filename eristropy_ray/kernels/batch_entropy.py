@@ -137,7 +137,9 @@ def masked_radius(P: np.ndarray, lengths: np.ndarray, r_frac: float) -> np.ndarr
     vals = np.where(mask, P, 0.0)
     n = np.maximum(lengths, 1).astype(np.float64)
     mean = vals.sum(axis=1) / n
-    sq = (vals * vals).sum(axis=1) / n
-    var = np.maximum(sq - mean * mean, 0.0)
+    # centered two-pass variance (single-pass E[x^2]-mean^2 collapses for
+    # large-mean windows and would hand SampEn a garbage radius)
+    centered = np.where(mask, P - mean[:, None], 0.0)
+    var = (centered * centered).sum(axis=1) / n
     std = np.sqrt(var)
     return np.where(std > 0.0, r_frac * std, 1.0)

@@ -22,8 +22,11 @@ import numpy as np
 
 
 def _geom_block_length(u: float, p: float) -> int:
-    """Inverse-CDF uniform -> Geometric(p) (reference ``_unif_to_geom``)."""
-    return math.ceil(math.log(1.0 - u) / math.log(1.0 - p))
+    """Inverse-CDF uniform -> Geometric(p) (reference ``_unif_to_geom``).
+
+    Floored at 1: u == 0.0 (probability 2^-53 per draw — real at scale)
+    would yield a zero-length block and an infinite resampling loop."""
+    return max(math.ceil(math.log(1.0 - u) / math.log(1.0 - p)), 1)
 
 
 def stationary_bootstrap_indices(

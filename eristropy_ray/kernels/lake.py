@@ -179,6 +179,12 @@ def bootstrap_objective(
 
 
 def sampen_and_analytic_se(x: np.ndarray, m: int, r: float) -> tuple[float, float]:
-    """(SampEn, analytic SE) = (-log CP, s/CP) (extras.py:244-248)."""
+    """(SampEn, analytic SE) = (-log CP, s/CP) (extras.py:244-248).
+
+    CP <= 0 (no (m+1)-template matches) yields (NaN, NaN) instead of a
+    math-domain crash — one pathological signal must not kill a
+    distributed final stage."""
     cp, s_cp = cp_mean_and_sd(x, m, r)
+    if not cp > 0.0:
+        return math.nan, math.nan
     return -math.log(cp), s_cp / cp

@@ -282,8 +282,13 @@ def sampen_efficiency(
 
     score_partition.__name__ = "sampen_eff_scores"
     scores = _grouped(signals, score_partition).to_pandas()
+    # np.median propagates NaN (reference extras.py:238 semantics);
+    # pandas' median would silently skip failed signals
     med = (
-        scores.groupby("r_idx")["score"].median().reindex(range(rs.size)).to_numpy()
+        scores.groupby("r_idx")["score"]
+        .apply(lambda g: float(np.median(g.to_numpy())))
+        .reindex(range(rs.size))
+        .to_numpy()
     )
     interp = np.interp(pts, rs, med)
     r_star = float(pts[int(np.nanargmin(interp))])

@@ -289,6 +289,13 @@ def run_rollup_job(
         if resume and manifest.is_complete(shard_id, "encode"):
             summary["shards_skipped"] += 1
             continue
+        # a shard not marked complete may have partial output from a
+        # crashed attempt; Ray's write_parquet APPENDS uuid-named files,
+        # so rerunning without clearing would duplicate every row
+        import shutil as _shutil
+
+        for stale in ("rollup", "blocks"):
+            _shutil.rmtree(out / stale / f"shard={shard_id}", ignore_errors=True)
         if layout == "conv_files":
             t0 = time.time()
             rows_path = str(out / "rollup" / f"shard={shard_id}")

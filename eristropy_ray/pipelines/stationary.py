@@ -93,6 +93,14 @@ def make_gp_detrend_partition(cfg: StationaryConfig, ls_vals_ref):
         out = np.empty_like(v)
         ts_out = sdf["ts_us"].to_numpy(dtype=np.float64).copy()
         for s, e in zip(starts, ends):
+            if e - s < cfg.n_splits + 2:
+                # too short for forward-chaining CV (the reference would
+                # crash driver-side; a distributed stage must not) —
+                # fall back to mean-centering
+                out[s:e] = v[s:e] - v[s:e].mean()
+                if cfg.gp_arange_semantics:
+                    ts_out[s:e] = np.arange(e - s, dtype=np.float64)
+                continue
             X = np.arange(e - s, dtype=np.float64).reshape(-1, 1)
             out[s:e] = detrend_gp(
                 X, v[s:e], ls_vals, n_splits=cfg.n_splits, eps=cfg.eps

@@ -127,7 +127,6 @@ def rollup_windows(
     codes = codes[order]
     ts_us = ts_us[order]
     v = value[order]
-    v_sq = v * v
     uniques = np.asarray(uniques, dtype=object)
 
     out: dict[str, list[np.ndarray]] = {name: [] for name in ROLLUP_COLUMNS}
@@ -146,9 +145,12 @@ def rollup_windows(
         sums = np.add.reduceat(v, starts)
         mins = np.minimum.reduceat(v, starts)
         maxs = np.maximum.reduceat(v, starts)
-        sq = np.add.reduceat(v_sq, starts)
         means = sums / counts
-        var = np.maximum(sq / counts - means * means, 0.0)
+        # centered two-pass variance: the single-pass E[x^2]-mean^2 form
+        # loses all precision when |mean| >> std (e.g. counter-like values)
+        rep = np.repeat(np.arange(starts.size), counts)
+        centered = v - means[rep]
+        var = np.add.reduceat(centered * centered, starts) / counts
         stds = np.sqrt(var)
 
         n_win = starts.size

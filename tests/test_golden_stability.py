@@ -48,7 +48,7 @@ def _fixture_rollup() -> pd.DataFrame:
 
 # regenerate with: python -c "from tests.test_golden_stability import *; \
 #   print(_digest(_fixture_rollup()))"
-PINNED_DIGEST = "1636380288080448ec7cb49280f0de17b939f548079d68739da739003d9373ff"
+PINNED_DIGEST = "2fe25893d151e53b286caac4a798c7dd707d38d3af3d2611c761bd27ffd6721e"
 
 PINNED_SPOT_VALUES = {
     # (conv_id, tier, bucket_us, column): exact float64 bits (little-endian hex)

@@ -252,3 +252,33 @@ def test_encode_multi_block_roundtrip(ray_session):
     # observed points round-trip exactly
     obs = decoded[decoded["bucket_ts"].isin(buckets)]
     np.testing.assert_array_equal(obs["sampen"].to_numpy(), vals)
+
+
+def test_resume_after_partial_failure_does_not_duplicate(ray_session, tmp_path):
+    """A shard that crashed mid-write leaves partial parquet files; the
+    rerun must replace them, not append (Ray write_parquet appends
+    uuid-named files into an existing dir)."""
+    import json
+
+    import ray.data as rd
+
+    from eristropy_ray.pipelines.rollup import run_rollup_job
+    from eristropy_ray.sources.transcripts import synthesize_transcripts
+
+    d = synthesize_transcripts(
+        tmp_path / "tx", n_convs=8, mean_turns=20, n_files=2, hot_factor=2
+    )
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    out = tmp_path / "out"
+    s1 = run_rollup_job(files, str(out), n_shards=1, layout="unpartitioned")
+    rows_before = rd.read_parquet(str(out / "rollup")).count()
+    # simulate a crash AFTER rollup wrote but BEFORE encode completed:
+    # drop the manifest's encode record, keep the partial files on disk
+    mpath = out / "MANIFEST.json"
+    state = json.loads(mpath.read_text())
+    del state["shards"]["s0000"]["stages"]["encode"]
+    mpath.write_text(json.dumps(state))
+    s2 = run_rollup_job(files, str(out), n_shards=1, layout="unpartitioned")
+    assert s2["shards_skipped"] == 0 and s2["rows"] == s1["rows"]
+    rows_after = rd.read_parquet(str(out / "rollup")).count()
+    assert rows_after == rows_before  # would be 2x without the cleanup
