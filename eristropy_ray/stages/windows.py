@@ -48,15 +48,55 @@ ROLLUP_COLUMNS = (
 )
 
 
-def _entropy_pair(x: np.ndarray, cfg: RollupConfig) -> tuple[float, float]:
-    """(sampen, permen) of one window series with the derived radius
-    (scalar path, used for windows longer than the batch classes)."""
+def _entropy_pair(x: np.ndarray, r: float, cfg: RollupConfig) -> tuple[float, float]:
+    """(sampen, permen) of one window series with the given radius
+    (scalar path, used for windows longer than the batch classes). The
+    radius comes from the full window even when the kernel runs on the
+    deterministic strided subsample."""
     if x.size > cfg.max_window_points:
         stride = -(-x.size // cfg.max_window_points)  # ceil division
         x = x[::stride]
-    sd = float(x.std())
-    r = cfg.r_frac * sd if sd > 0.0 else 1.0
     return sampen(x, cfg.m, r), permen(x, order=cfg.permen_order)
+
+
+def window_radii_from_moments(
+    sums: np.ndarray, ssq_centered: np.ndarray, counts: np.ndarray, r_frac: float
+) -> np.ndarray:
+    """r = r_frac * population std from centered second moments; 1.0 for
+    constant windows (keeps SampEn(constant)=0). One shared definition for
+    the engine and the test oracle — see ``raw_window_radius``."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        std = np.sqrt(ssq_centered / counts)
+    return np.where(std > 0.0, r_frac * std, 1.0)
+
+
+def raw_window_radius(x: np.ndarray, r_frac: float) -> float:
+    """Per-window oracle form of the engine's radius derivation: the same
+    reduceat accumulation order on a single segment."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    mean = np.add.reduceat(x, [0])[0] / n
+    c = x - mean
+    ssq = np.add.reduceat(c * c, [0])[0]
+    return float(window_radii_from_moments(
+        np.array([0.0]), np.array([ssq]), np.array([n]), r_frac
+    )[0])
+
+
+def diff_window_radius(x: np.ndarray, r_frac: float) -> float:
+    """Oracle form for the differenced series: mean via the telescoping
+    (last-first)/(n-1) identity, variance via the centered reduceat."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    if n < 2:
+        return 1.0
+    d = x[1:] - x[:-1]
+    mean = (x[-1] - x[0]) / (n - 1.0)
+    c = d - mean
+    ssq = np.add.reduceat(c * c, [0])[0]
+    return float(window_radii_from_moments(
+        np.array([0.0]), np.array([ssq]), np.array([n - 1]), r_frac
+    )[0])
 
 
 # padded-batch window-length classes; windows longer than the last class
@@ -70,6 +110,7 @@ def _window_entropies(
     starts: np.ndarray,
     lengths: np.ndarray,
     eligible: np.ndarray,
+    radii: np.ndarray,
     cfg: RollupConfig,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(sampen, permen) arrays over all windows; NaN where not eligible.
@@ -78,10 +119,10 @@ def _window_entropies(
     padded batch kernels in length classes; large windows fall back to the
     scalar kernels with the deterministic stride cap. A window's path is a
     pure function of its length, so results are placement-independent.
+    Radii are precomputed once per tier (centered reduceat moments).
     """
     from eristropy_ray.kernels.batch_entropy import (
         gather_padded,
-        masked_radius,
         permen_padded,
         sampen_padded,
     )
@@ -97,12 +138,11 @@ def _window_entropies(
             continue
         L_eff = int(lengths[sel].max())
         P = gather_padded(v, starts[sel], lengths[sel], L_eff)
-        r = masked_radius(P, lengths[sel], cfg.r_frac)
-        s_out[sel] = sampen_padded(P, lengths[sel], cfg.m, r)
+        s_out[sel] = sampen_padded(P, lengths[sel], cfg.m, radii[sel])
         p_out[sel] = permen_padded(P, lengths[sel], cfg.permen_order)
     for w in np.flatnonzero(eligible & (lengths > _BATCH_CLASSES[-1])):
         s_out[w], p_out[w] = _entropy_pair(
-            v[starts[w] : starts[w] + lengths[w]], cfg
+            v[starts[w] : starts[w] + lengths[w]], radii[w], cfg
         )
     return s_out, p_out
 
@@ -150,20 +190,34 @@ def rollup_windows(
         # loses all precision when |mean| >> std (e.g. counter-like values)
         rep = np.repeat(np.arange(starts.size), counts)
         centered = v - means[rep]
-        var = np.add.reduceat(centered * centered, starts) / counts
+        ssq_c = np.add.reduceat(centered * centered, starts)
+        var = ssq_c / counts
         stds = np.sqrt(var)
+        r_raw = window_radii_from_moments(sums, ssq_c, counts, cfg.r_frac)
 
         n_win = starts.size
         use_diff = cfg.preprocess == "difference"
         eligible = counts >= cfg.min_window
-        s_raw, p_raw = _window_entropies(v, starts, counts, eligible, cfg)
+        s_raw, p_raw = _window_entropies(v, starts, counts, eligible, r_raw, cfg)
         if use_diff:
             dv = np.empty(v.size)
             if v.size:
                 dv[0] = 0.0
                 np.subtract(v[1:], v[:-1], out=dv[1:])
+            # diff-series radius: telescoping mean, centered reduceat
+            # variance; dv[starts] is zeroed by construction so segment
+            # sums over [start, next_start) cover exactly [start+1, end)
+            ends = np.append(starts[1:], codes.size)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                means_d = (v[ends - 1] - v[starts]) / (counts - 1.0)
+            cd = dv - means_d[rep]
+            cd[starts] = 0.0
+            ssq_d = np.add.reduceat(cd * cd, starts)
+            r_diff = window_radii_from_moments(
+                sums, ssq_d, np.maximum(counts - 1, 1), cfg.r_frac
+            )
             s_diff, p_diff = _window_entropies(
-                dv, starts + 1, counts - 1, eligible, cfg
+                dv, starts + 1, counts - 1, eligible, r_diff, cfg
             )
         else:
             s_diff, p_diff = s_raw, p_raw

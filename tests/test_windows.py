@@ -6,32 +6,34 @@ import pandas as pd
 from eristropy_ray.config import TIER_STEPS_US, RollupConfig
 from eristropy_ray.kernels.batch_entropy import (
     gather_padded,
-    masked_radius,
     permen_padded,
     sampen_padded,
 )
 from eristropy_ray.kernels.permen import permen
 from eristropy_ray.kernels.sampen import sampen
-from eristropy_ray.stages.windows import _BATCH_CLASSES, rollup_windows
+from eristropy_ray.stages.windows import (
+    _BATCH_CLASSES,
+    diff_window_radius,
+    raw_window_radius,
+    rollup_windows,
+)
 
 
-def _entropies_oracle(x, cfg):
+def _entropies_oracle(x, cfg, r):
     """Per-window entropy oracle replicating the engine's deterministic
     path selection: padded-batch kernels (single-window batch) for small
-    windows, scalar kernels with stride cap beyond the last class."""
+    windows, scalar kernels with stride cap beyond the last class. The
+    radius is derived from the full window via the shared helpers."""
     n = x.size
     if n <= _BATCH_CLASSES[-1]:
         L = next(c for c in _BATCH_CLASSES if n <= c)
-        P = gather_padded(x, np.array([0]), np.array([n]), L)
-        r = masked_radius(P, np.array([n]), cfg.r_frac)
+        P = gather_padded(x, np.array([0]), np.array([n]), n)
         return (
-            sampen_padded(P, np.array([n]), cfg.m, r)[0],
+            sampen_padded(P, np.array([n]), cfg.m, np.array([r]))[0],
             permen_padded(P, np.array([n]), cfg.permen_order)[0],
         )
     if n > cfg.max_window_points:
         x = x[:: -(-n // cfg.max_window_points)]
-    sd = x.std()
-    r = cfg.r_frac * sd if sd > 0 else 1.0
     return sampen(x, cfg.m, r), permen(x, order=cfg.permen_order)
 
 
@@ -71,8 +73,12 @@ def _oracle(df, cfg):
                 "value_max": x.max(),
             }
             if len(x) >= cfg.min_window:
-                row["sampen_raw"], row["permen_raw"] = _entropies_oracle(x, cfg)
-                row["sampen"], row["permen"] = _entropies_oracle(np.diff(x), cfg)
+                row["sampen_raw"], row["permen_raw"] = _entropies_oracle(
+                    x, cfg, raw_window_radius(x, cfg.r_frac)
+                )
+                row["sampen"], row["permen"] = _entropies_oracle(
+                    np.diff(x), cfg, diff_window_radius(x, cfg.r_frac)
+                )
             else:
                 row["sampen_raw"] = row["permen_raw"] = np.nan
                 row["sampen"] = row["permen"] = np.nan
