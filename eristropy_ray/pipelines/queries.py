@@ -804,6 +804,76 @@ def q_pricing_summary(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_asof_purchase_click(sf_dir: str):
+    """As-of join: for each 'purchase' event, the user's most recent
+    STRICTLY earlier 'click' event (pd.merge_asof inside hash partitions
+    keyed by user — the guide's canonical as-of pattern; right side made
+    unique per (user, ts) so tie resolution is deterministic on both
+    engines)."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def to_typed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (uid * 2654435761 % (2**31 - 1)) % _NPARTS
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    typed = events.map_batches(to_typed, batch_format="pyarrow")
+
+    def asof_partition(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "purchase"][
+            ["user_id", "ts_us", "event_id"]
+        ].sort_values(["ts_us", "event_id"], kind="stable")
+        right = df[df["event_type"] == "click"][["user_id", "ts_us", "event_id"]]
+        # deterministic tie resolution: one row per (user, ts), max event_id
+        right = (
+            right.groupby(["user_id", "ts_us"], sort=False)["event_id"]
+            .max()
+            .reset_index()
+            .rename(columns={"event_id": "click_event_id", "ts_us": "click_ts_us"})
+            .sort_values(["click_ts_us", "click_event_id"], kind="stable")
+        )
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts_us", "click_event_id",
+                         "click_ts_us", "lag_us"]
+            ).astype({"event_id": "int64", "user_id": "int64", "ts_us": "int64",
+                      "click_event_id": "int64", "click_ts_us": "int64",
+                      "lag_us": "int64"})
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="ts_us",
+            right_on="click_ts_us",
+            left_by="user_id",
+            right_by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        merged = merged.dropna(subset=["click_event_id"])
+        merged["click_event_id"] = merged["click_event_id"].astype("int64")
+        merged["click_ts_us"] = merged["click_ts_us"].astype("int64")
+        merged["lag_us"] = merged["ts_us"] - merged["click_ts_us"]
+        return merged[["event_id", "user_id", "ts_us", "click_event_id",
+                       "click_ts_us", "lag_us"]]
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return asof_partition(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "asof_partition"
+    return typed.groupby("part").map_groups(wrapper, batch_format="pandas")
+
+
 QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
@@ -838,6 +908,7 @@ QUERIES = {
     "rolling_mean": q_rolling_mean,
     "event_types": q_event_types,
     "pricing_summary": q_pricing_summary,
+    "asof_purchase_click": q_asof_purchase_click,
 }
 
 
@@ -908,6 +979,19 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          / CAST(length(text) AS DOUBLE) AS upper_ratio
 FROM documents
+""",
+    "asof_purchase_click": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
+                  MAX(event_id) AS click_event_id
+           FROM events WHERE event_type = 'click'
+           GROUP BY user_id, epoch_us(ts))
+SELECT p.event_id, p.user_id, p.ts_us,
+       c.click_event_id, c.click_ts_us,
+       p.ts_us - c.click_ts_us AS lag_us
+FROM p ASOF JOIN c
+  ON p.user_id = c.user_id AND p.ts_us > c.click_ts_us
 """,
     "event_types": """
 SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
