@@ -52,3 +52,20 @@ def test_stable_key_cross_process_stable():
     # FNV-1a of the string form — must never change between releases
     assert stable_key("abc") == (88168267,)
     assert stable_key(7, "x") == (7, 2248283911)
+
+
+def test_geom_block_length_distribution_ks():
+    """Distributional check (reference tests/test_utils.py:64-77 uses a
+    scipy KS test vs np.random.geometric; scipy is unavailable, so the
+    two-sample KS statistic is computed directly and compared with the
+    95% critical value)."""
+    g = np.random.default_rng(11)
+    p = 0.3
+    ours = np.array([_geom_block_length(float(g.random()), p) for _ in range(4000)])
+    ref = np.random.default_rng(12).geometric(p, size=4000)
+    values = np.union1d(ours, ref)
+    cdf_a = np.searchsorted(np.sort(ours), values, side="right") / ours.size
+    cdf_b = np.searchsorted(np.sort(ref), values, side="right") / ref.size
+    ks = np.abs(cdf_a - cdf_b).max()
+    crit = 1.36 * np.sqrt(2 / 4000)  # alpha = 0.05, equal sample sizes
+    assert ks < crit, (ks, crit)
