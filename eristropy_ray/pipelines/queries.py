@@ -874,6 +874,73 @@ def q_asof_purchase_click(sf_dir: str):
     return typed.groupby("part").map_groups(wrapper, batch_format="pandas")
 
 
+def q_clicks_before_purchase(sf_dir: str):
+    """Range join: for each 'purchase', count the same user's clicks in
+    the preceding hour (vectorized searchsorted per partition; exact
+    integer output vs an inequality-join SQL oracle)."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def to_typed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (uid * 2654435761 % (2**31 - 1)) % _NPARTS
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def range_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_id": [], "user_id": [], "ts_us": [], "n_clicks_1h": []}
+        hour = 3_600_000_000
+        for uid, g in df.groupby("user_id", sort=False):
+            clicks = np.sort(
+                g[g["event_type"] == "click"]["ts_us"].to_numpy(dtype=np.int64)
+            )
+            purchases = g[g["event_type"] == "purchase"]
+            if purchases.empty:
+                continue
+            ts = purchases["ts_us"].to_numpy(dtype=np.int64)
+            hi = np.searchsorted(clicks, ts, side="left")  # strictly before
+            lo = np.searchsorted(clicks, ts - hour, side="right")  # > ts-1h
+            out["event_id"].extend(purchases["event_id"].tolist())
+            out["user_id"].extend([uid] * len(purchases))
+            out["ts_us"].extend(ts.tolist())
+            out["n_clicks_1h"].extend((hi - lo).astype(np.int64).tolist())
+        return pd.DataFrame(out)
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return range_partition(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "range_join_partition"
+    typed = events.map_batches(to_typed, batch_format="pyarrow")
+    return typed.groupby("part").map_groups(wrapper, batch_format="pandas")
+
+
+def q_user_value_median(sf_dir: str):
+    """Per-user exact median (order statistic; both engines average the
+    two middle elements of the identical sorted doubles)."""
+    ds = _events_signals(sf_dir)
+
+    def med_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"signal_id": [], "value_median": []}
+        for sid, g in df.groupby("signal_id", sort=False):
+            rows["signal_id"].append(sid)
+            rows["value_median"].append(float(np.median(g["value"].to_numpy())))
+        return pd.DataFrame(rows)
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return med_partition(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "median_partition"
+    return ds.groupby("part").map_groups(wrapper, batch_format="pandas")
+
+
 QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
@@ -909,6 +976,8 @@ QUERIES = {
     "event_types": q_event_types,
     "pricing_summary": q_pricing_summary,
     "asof_purchase_click": q_asof_purchase_click,
+    "clicks_before_purchase": q_clicks_before_purchase,
+    "user_value_median": q_user_value_median,
 }
 
 
@@ -979,6 +1048,21 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          / CAST(length(text) AS DOUBLE) AS upper_ratio
 FROM documents
+""",
+    "clicks_before_purchase": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_us(ts) AS cts
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us,
+       COALESCE(SUM(CASE WHEN c.cts > p.ts_us - 3600000000
+                          AND c.cts < p.ts_us THEN 1 END), 0) AS n_clicks_1h
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+GROUP BY p.event_id, p.user_id, p.ts_us
+""",
+    "user_value_median": """
+SELECT user_id AS signal_id, MEDIAN(value) AS value_median
+FROM events GROUP BY user_id
 """,
     "asof_purchase_click": """
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
