@@ -898,7 +898,7 @@ def q_clicks_before_purchase(sf_dir: str):
     def range_partition(df: pd.DataFrame) -> pd.DataFrame:
         out = {"event_id": [], "user_id": [], "ts_us": [], "n_clicks_1h": []}
         hour = 3_600_000_000
-        for uid, g in df.groupby("user_id", sort=False):
+        for uid, g in df.groupby("user_id", sort=True):
             clicks = np.sort(
                 g[g["event_type"] == "click"]["ts_us"].to_numpy(dtype=np.int64)
             )
@@ -912,7 +912,13 @@ def q_clicks_before_purchase(sf_dir: str):
             out["user_id"].extend([uid] * len(purchases))
             out["ts_us"].extend(ts.tolist())
             out["n_clicks_1h"].extend((hi - lo).astype(np.int64).tolist())
-        return pd.DataFrame(out)
+        res = pd.DataFrame(out).astype(
+            {"event_id": "int64", "user_id": "int64",
+             "ts_us": "int64", "n_clicks_1h": "int64"}
+        )
+        return res.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="stable"
+        ).reset_index(drop=True)
 
     def wrapper(df: pd.DataFrame) -> pd.DataFrame:
         return range_partition(df.drop(columns=["part"]))
@@ -1055,8 +1061,8 @@ WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
      c AS (SELECT user_id, epoch_us(ts) AS cts
            FROM events WHERE event_type = 'click')
 SELECT p.event_id, p.user_id, p.ts_us,
-       COALESCE(SUM(CASE WHEN c.cts > p.ts_us - 3600000000
-                          AND c.cts < p.ts_us THEN 1 END), 0) AS n_clicks_1h
+       CAST(COALESCE(SUM(CASE WHEN c.cts > p.ts_us - 3600000000
+                          AND c.cts < p.ts_us THEN 1 END), 0) AS BIGINT) AS n_clicks_1h
 FROM p LEFT JOIN c ON p.user_id = c.user_id
 GROUP BY p.event_id, p.user_id, p.ts_us
 """,

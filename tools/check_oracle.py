@@ -46,6 +46,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"ROWCOUNT MISMATCH ray={len(a)} sql={len(b)}"
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if av.dtype != bv.dtype:
+            # The driver's value-hash is dtype-sensitive (int64 3 vs
+            # float64 3.0 hash differently) even when values are equal.
+            return f"DTYPE MISMATCH col={col} ray={av.dtype} sql={bv.dtype}"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
