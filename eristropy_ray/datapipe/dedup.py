@@ -13,44 +13,92 @@
   Hamming distance 3 shares at least one exact chunk — pigeonhole).
 - embedding cosine near-dup: block matmul against a broadcast matrix.
 
-All hashing is FNV-1a / splitmix-style arithmetic on uint64 — stable
-across processes and Ray workers (Python's builtin str hash is salted).
+All hashing is vectorized polynomial arithmetic on uint64 (wraparound
+mod 2^64) finished with a splitmix64 mixer — stable across processes and
+Ray workers (Python's builtin str hash is salted), and C-speed: the only
+per-byte work is numpy cumsum/cumprod, never a Python loop.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-
-_WORD = re.compile(r"\S+")
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _MERSENNE = (1 << 61) - 1
 
+# Odd multiplier (golden-ratio constant) and its modular inverse mod 2^64:
+# polynomial word hashes are computed from prefix sums S_j = sum b_i P^-i,
+# so hash(word[s:e]) = (S_{e-1} - S_{s-1}) * P^{e-1} — one cumsum/cumprod
+# per text instead of a Python loop per byte.
+_POLY_P = np.uint64(0x9E3779B97F4A7C15)
+_POLY_PINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 
-def _fnv1a_bytes(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for b in data:
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, elementwise over a uint64 array."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
     return h
 
 
+def word_hashes(text: str) -> np.ndarray:
+    """One uint64 hash per whitespace-separated word, fully vectorized.
+
+    Polynomial hash over the UTF-8 bytes (mod 2^64 via modular-inverse
+    prefix sums), length-salted and splitmix64-mixed. Multibyte UTF-8 is
+    safe: bytes >= 0x80 never collide with the ASCII whitespace tests.
+    """
+    arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    nonws = ~((arr == 32) | ((arr >= 9) & (arr <= 13)))
+    if not nonws.any():
+        return np.zeros(0, dtype=np.uint64)
+    d = np.diff(nonws.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if nonws[0]:
+        starts = np.concatenate(([0], starts))
+    if nonws[-1]:
+        ends = np.concatenate((ends, [arr.size]))
+    n = arr.size
+    ppow = np.ones(n, dtype=np.uint64)
+    ppow[1:] = _POLY_P
+    np.cumprod(ppow, out=ppow)  # ppow[i] = P^i
+    ipow = np.ones(n, dtype=np.uint64)
+    ipow[1:] = _POLY_PINV
+    np.cumprod(ipow, out=ipow)  # ipow[i] = P^-i
+    s_pref = np.cumsum(arr.astype(np.uint64) * ipow, dtype=np.uint64)
+    pre = np.zeros(starts.size, dtype=np.uint64)
+    nz = starts > 0
+    pre[nz] = s_pref[starts[nz] - 1]
+    h = (s_pref[ends - 1] - pre) * ppow[ends - 1]
+    # length salt disambiguates words with leading NUL bytes
+    return _mix64(h + (ends - starts).astype(np.uint64) * _POLY_P)
+
+
 def word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hashes of the k-word shingles of ``text`` (unique, sorted)."""
-    words = _WORD.findall(text)
-    if len(words) < k:
-        joined = " ".join(words)
-        return np.array([_fnv1a_bytes(joined.encode())], dtype=np.uint64)
-    hashes = np.fromiter(
-        (
-            _fnv1a_bytes(" ".join(words[i : i + k]).encode())
-            for i in range(len(words) - k + 1)
-        ),
-        dtype=np.uint64,
-    )
-    return np.unique(hashes)
+    """uint64 hashes of the k-word shingles of ``text`` (unique, sorted).
+
+    Shingle hash = Horner combination of the k word hashes — k vectorized
+    passes over the word-hash array, no per-shingle Python work.
+    """
+    wh = word_hashes(text)
+    if wh.size < k:
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(wh.size):
+            acc = acc * _POLY_P + wh[j]
+        return _mix64(acc + np.uint64(wh.size))
+    m = wh.size - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _POLY_P + wh[j : j + m]
+    return np.unique(_mix64(acc))
 
 
 def minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
@@ -101,13 +149,11 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (Charikar 2002)."""
-    words = _WORD.findall(text)
-    if not words:
+    """64-bit SimHash over word unigrams (Charikar 2002); word hashes
+    come from the vectorized polynomial hasher (multiplicity kept)."""
+    hashes = word_hashes(text)
+    if hashes.size == 0:
         return 0
-    hashes = np.fromiter(
-        (_fnv1a_bytes(w.encode()) for w in words), dtype=np.uint64
-    )
     bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     votes = bits.astype(np.int64).sum(axis=0) * 2 - hashes.size
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())

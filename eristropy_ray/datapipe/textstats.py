@@ -51,28 +51,33 @@ def langid_predict(text: str, min_score: float = 0.02) -> str:
     return lang if scores[lang] >= min_score else "unknown"
 
 
-_RK_BASE = 1_000_003
-_RK_MOD = (1 << 61) - 1
+_RK_BASE = np.uint64(1_000_003)  # odd, so invertible mod 2^64
+_RK_BINV = np.uint64(pow(1_000_003, -1, 1 << 64))
 
 
 def rolling_kgram_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Rabin-Karp rolling hashes of all k-grams (codepoint-level)."""
+    """Rabin-Karp rolling hashes of all k-grams (codepoint-level).
+
+    Vectorized via modular-inverse prefix sums mod 2^64: with
+    S_j = sum c_i B^-i, hash of window [j, j+k) is
+    (S_{j+k-1} - S_{j-1}) * B^{j+k-1} — one cumsum/cumprod per doc,
+    no per-position Python loop.
+    """
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
-        np.int64
+        np.uint64
     )
     n = codes.size
     if n < k:
-        return np.zeros(0, dtype=np.int64)
-    out = np.empty(n - k + 1, dtype=np.int64)
-    h = 0
-    for i in range(k):
-        h = (h * _RK_BASE + int(codes[i])) % _RK_MOD
-    out[0] = h
-    top = pow(_RK_BASE, k - 1, _RK_MOD)
-    for i in range(1, n - k + 1):
-        h = ((h - int(codes[i - 1]) * top) * _RK_BASE + int(codes[i + k - 1])) % _RK_MOD
-        out[i] = h
-    return out
+        return np.zeros(0, dtype=np.uint64)
+    ppow = np.ones(n, dtype=np.uint64)
+    ppow[1:] = _RK_BASE
+    np.cumprod(ppow, out=ppow)
+    ipow = np.ones(n, dtype=np.uint64)
+    ipow[1:] = _RK_BINV
+    np.cumprod(ipow, out=ipow)
+    s_pref = np.cumsum(codes * ipow, dtype=np.uint64)
+    pre = np.concatenate(([np.uint64(0)], s_pref[: n - k]))
+    return (s_pref[k - 1 :] - pre) * ppow[k - 1 :]
 
 
 def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> np.ndarray:
@@ -95,8 +100,13 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> np.ndarray:
 
 
 def content_hash64(text: str) -> int:
-    """Whole-document rolling hash digest (order-sensitive)."""
-    h = 0
-    for b in text.encode("utf-8"):
-        h = (h * _RK_BASE + b) % _RK_MOD
-    return h
+    """Whole-document rolling hash digest (order-sensitive); vectorized
+    dot product against the reversed power ladder mod 2^64."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = b.size
+    if n == 0:
+        return 0
+    ppow = np.ones(n, dtype=np.uint64)
+    ppow[1:] = _RK_BASE
+    np.cumprod(ppow, out=ppow)
+    return int((b * ppow[::-1]).sum(dtype=np.uint64))

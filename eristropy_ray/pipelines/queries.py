@@ -467,17 +467,19 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def q_minhash_neardup(sf_dir: str):
+def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified (>= 0.5).
 
-    Plan: vectorized signatures per batch -> explode (band, hash, doc) ->
-    groupby(band bucket) -> within-bucket pairs -> exact-Jaccard verify.
-    Verification texts are broadcast here (documents fit); at corpus scale
-    this step is a hash-join of the (few) candidate pairs back to text.
+    Scale-safe plan: vectorized signatures per batch -> explode
+    (band_id, band_hash, doc_id) -> groupby(bucket) -> candidate PAIRS
+    only (ids, no text) -> distributed pair dedupe -> hash-join the pairs
+    back to the text table on doc_id twice -> exact-Jaccard verify per
+    pair. The corpus text is never broadcast or collected on the driver —
+    only the (few) candidate pairs flow through the joins. Buckets larger
+    than ``bucket_cap`` docs are counted and logged, not silently dropped.
     """
     import itertools
-
-    import ray
+    import logging
 
     from eristropy_ray.datapipe.dedup import (
         jaccard,
@@ -485,58 +487,112 @@ def q_minhash_neardup(sf_dir: str):
         minhash_signature_batch,
     )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sign(df: pd.DataFrame) -> pd.DataFrame:
         sigs = minhash_signature_batch(list(df["text"]), num_perm=64)
         band_id, band_hash = lsh_band_keys(sigs, n_bands=16)
         n_bands = 16
+        bh = band_hash.astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(df["doc_id"].to_numpy(), n_bands),
                 "band_id": band_id.astype(np.int64),
-                "band_hash": band_hash.astype(np.int64),
+                "band_hash": bh,
+                # hash-partition buckets so pair generation is one UDF call
+                # per partition, not one per LSH bucket
+                "part": (bh % _NPARTS).astype(np.int64),
             }
         )
 
-    import pyarrow.parquet as pq
-
-    texts_tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    text_ref = ray.put(
-        dict(zip(texts_tbl["doc_id"].to_pylist(), texts_tbl["text"].to_pylist()))
-    )
-
-    banded = ds.map_batches(sign, batch_format="pandas")
+    banded = docs.map_batches(sign, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(text_ref)
-        pairs = set()
+        # drop singleton buckets vectorized before the per-bucket loop
+        sizes = df.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        df = df[sizes >= 2]
+        pairs: set[tuple[int, int]] = set()
+        n_over = 0
         for _, g in df.groupby(["band_id", "band_hash"]):
-            docs = sorted(set(g["doc_id"]))
-            if len(docs) < 2 or len(docs) > 50:  # cap pathological buckets
+            ids = sorted(set(g["doc_id"]))
+            if len(ids) > bucket_cap:  # pathological bucket: count, don't pair
+                n_over += 1
                 continue
-            for a, b in itertools.combinations(docs, 2):
-                pairs.add((a, b))
-        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
-        for a, b in sorted(pairs):
-            j = jaccard(texts[a], texts[b])
-            if j >= 0.5:
-                rows["doc_a"].append(a)
-                rows["doc_b"].append(b)
-                rows["jaccard"].append(round(j, 4))
-        return pd.DataFrame(rows)
+            if len(ids) < 2:
+                continue
+            pairs.update(itertools.combinations(ids, 2))
+        rows = sorted(pairs)
+        out = pd.DataFrame(
+            {
+                "doc_a": [a for a, _ in rows],
+                "doc_b": [b for _, b in rows],
+            },
+            dtype="int64",
+        )
+        if n_over:  # sentinel row; filtered + logged driver-side
+            out = pd.concat(
+                [out, pd.DataFrame({"doc_a": [-1], "doc_b": [n_over]})],
+                ignore_index=True,
+            ).astype({"doc_a": "int64", "doc_b": "int64"})
+        return out
 
-    out = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return bucket_pairs(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "bucket_pairs"
+
+    # candidate pairs are tiny relative to the corpus — collecting them
+    # (NOT the corpus) is the legal small-result pinch point; dedupe of
+    # pairs surfacing from several bands happens here too
+    pairs_pd = (
+        banded.groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
         .to_pandas()
     )
-    # the same pair can surface from several bands — dedupe globally
-    if len(out):
-        out = out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-    return out
+    n_over_total = int((pairs_pd["doc_a"] < 0).sum()) if len(pairs_pd) else 0
+    if n_over_total:
+        logging.getLogger(__name__).warning(
+            "minhash_neardup: %d LSH buckets exceeded cap=%d docs and were "
+            "not paired (near-dup recall may be reduced for those buckets)",
+            n_over_total, bucket_cap,
+        )
+        pairs_pd = pairs_pd[pairs_pd["doc_a"] >= 0]
+    pairs_pd = pairs_pd.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    if pairs_pd.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    # hash-join candidate ids back to the text table (two shuffles of the
+    # candidate set; the document table streams through the join — the
+    # corpus never lands on the driver)
+    pairs_ds = rd.from_pandas(pairs_pd)
+    with_a = pairs_ds.join(
+        docs, "inner", num_partitions=2, on=("doc_a",), right_on=("doc_id",)
+    ).select_columns(["doc_a", "doc_b", "text"]).rename_columns({"text": "text_a"})
+    with_b = with_a.join(
+        docs, "inner", num_partitions=2, on=("doc_b",), right_on=("doc_id",)
+    ).select_columns(["doc_a", "doc_b", "text_a", "text"]).rename_columns(
+        {"text": "text_b"}
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, b, ta, tb in zip(
+            df["doc_a"], df["doc_b"], df["text_a"], df["text_b"]
+        ):
+            j = jaccard(ta, tb)
+            if j >= 0.5:
+                keep["doc_a"].append(int(a))
+                keep["doc_b"].append(int(b))
+                keep["jaccard"].append(round(j, 4))
+        return pd.DataFrame(keep).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    out = with_b.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
 
 
 def q_knn_all(sf_dir: str, k: int = 5):
