@@ -643,49 +643,159 @@ def q_knn_all(sf_dir: str, k: int = 5):
     return ds.map_batches(topk, batch_format="pyarrow")
 
 
-def q_ann_ivf(sf_dir: str, k: int = 5):
-    """IVF approximate nearest neighbors (the scale path; rows-only —
-    recall vs brute force is asserted in tests/test_datapipe.py)."""
-    import pyarrow.parquet as pq
+def q_ann_ivf(
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_cap: int = 4096,
+):
+    """IVF approximate nearest neighbors — distributed build AND probe.
+
+    Scale shape (no full-corpus driver read anywhere):
+      1. centroids are k-means-trained on a bounded deterministic sample
+         (vec_id stride mask, capped at ``sample_cap`` rows — the only
+         driver materialization besides the final result) and broadcast
+         once via ``ray.put``;
+      2. one ``map_batches`` assigns every vector to its nearest cell
+         (role=member) and routes every query to its ``n_probe`` nearest
+         cells (role=query) in the same pass;
+      3. ``groupby(cell)`` computes per-cell top-(k+1) partials;
+      4. ``groupby(query-hash)`` merges partials into the global top-k.
+    Recall vs brute force and parity with the single-process
+    ``IVFIndex`` are asserted in tests/test_datapipe.py.
+    """
     import ray
 
-    from eristropy_ray.datapipe.similarity import IVFIndex
+    from eristropy_ray.datapipe.similarity import _kmeans, unit_rows
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = tbl["vec_id"].to_numpy()
-    emb = np.stack(
-        [np.asarray(x, dtype=np.float64) for x in tbl["embedding"].to_pylist()]
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    index_ref = ray.put(IVFIndex.build(emb, ids, n_cells=16, seed=7))
+    n_total = emb.count()
+    # power-of-2 stride so the mask is a cheap bit_wise_and
+    stride = 1
+    while n_total // stride > sample_cap:
+        stride *= 2
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    def _unit_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray, int]:
+        ids = b["vec_id"].to_numpy()
+        lst = b["embedding"].combine_chunks()
+        flat = np.asarray(lst.values, dtype=np.float64)
+        d = flat.size // len(ids) if len(ids) else 0
+        return ids.astype(np.int64), unit_rows(flat.reshape(len(ids), d)), d
 
-    def probe(b: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        index = _ray.get(index_ref)
-        q_ids = b["vec_id"].to_numpy()
-        q = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
+    def sample_mask(b: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(b["vec_id"], np.int64(stride - 1)), np.int64(0)
         )
-        got_ids, got_sims = index.search(q, k=k + 1, n_probe=4)
-        out = {"vec_id": [], "neighbor_id": [], "sim": []}
-        for i in range(q.shape[0]):
-            mask = got_ids[i] != q_ids[i]
-            nb = got_ids[i][mask][:k]
-            sm = got_sims[i][mask][:k]
-            out["vec_id"].extend([int(q_ids[i])] * nb.size)
-            out["neighbor_id"].extend(nb.tolist())
-            out["sim"].extend(np.round(sm, 4).tolist())
+        return b.filter(keep)
+
+    sample_tbl = pa.Table.from_pandas(
+        emb.map_batches(sample_mask, batch_format="pyarrow")
+        .limit(sample_cap)
+        .to_pandas()
+    )
+    s_ids = sample_tbl["vec_id"].to_numpy()
+    order = np.argsort(s_ids)  # order-independent training input
+    s_vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"].to_pylist()]
+    )[order]
+    centroids = _kmeans(unit_rows(s_vecs), n_cells, seed=7)
+    cref = ray.put(centroids)
+
+    def assign_and_route(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, u, d = _unit_matrix(b)
+        scores = u @ c.T
+        # members: one row per vector in its own cell
+        m_cell = scores.argmax(axis=1).astype(np.int64)
+        # queries: n_probe rows per vector, one per probed cell
+        q_cells = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int64)
+        cell = np.concatenate([m_cell, q_cells.reshape(-1)])
+        role = np.concatenate(
+            [np.zeros(ids.size, np.int64), np.ones(ids.size * n_probe, np.int64)]
+        )
+        rid = np.concatenate([ids, np.repeat(ids, n_probe)])
+        vecs = np.concatenate([u, np.repeat(u, n_probe, axis=0)])
         return pa.table(
             {
-                "vec_id": pa.array(out["vec_id"], pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
-                "sim": pa.array(out["sim"], pa.float64()),
+                "cell": pa.array(cell, pa.int64()),
+                "role": pa.array(role, pa.int64()),
+                "rid": pa.array(rid, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1), pa.float64()), d
+                ),
             }
         )
 
-    return ds.map_batches(probe, batch_format="pyarrow")
+    routed = emb.map_batches(assign_and_route, batch_format="pyarrow")
+
+    def cell_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid": pd.Series(dtype="int64"), "nid": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64"), "qpart": pd.Series(dtype="int64")}
+        )
+        members = df[df["role"] == 0]
+        queries = df[df["role"] == 1]
+        if members.empty or queries.empty:
+            return empty
+        m = np.stack(members["vec"].to_numpy())
+        mids = members["rid"].to_numpy()
+        q = np.stack(queries["vec"].to_numpy())
+        qids = queries["rid"].to_numpy()
+        sims = q @ m.T
+        kk = min(k + 1, m.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"qid": [], "nid": [], "sim": []}
+        for i in range(q.shape[0]):
+            cand = part[i]
+            rows["qid"].extend([int(qids[i])] * kk)
+            rows["nid"].extend(mids[cand].tolist())
+            rows["sim"].extend(sims[i, cand].tolist())
+        out = pd.DataFrame(rows).astype(
+            {"qid": "int64", "nid": "int64", "sim": "float64"}
+        )
+        out["qpart"] = (out["qid"] % _NPARTS).astype("int64")
+        return out
+
+    def cell_wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return cell_topk(df.drop(columns=["cell"]))
+
+    cell_wrapper.__name__ = "cell_topk"
+    partials = routed.groupby("cell").map_groups(
+        cell_wrapper, batch_format="pandas"
+    )
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qid = df["qid"].to_numpy()
+        nid = df["nid"].to_numpy()
+        sim = df["sim"].to_numpy()
+        order = np.lexsort((nid, -sim, qid))
+        qid, nid, sim = qid[order], nid[order], sim[order]
+        keep = nid != qid  # drop self-match
+        qid, nid, sim = qid[keep], nid[keep], sim[keep]
+        # rank within each query run (qid-sorted): cumcount via segment starts
+        starts = np.flatnonzero(np.concatenate(([True], qid[1:] != qid[:-1])))
+        rank = np.arange(qid.size) - np.repeat(starts, np.diff(
+            np.concatenate((starts, [qid.size]))
+        ))
+        top = rank < k
+        return pd.DataFrame(
+            {
+                "vec_id": qid[top].astype("int64"),
+                "neighbor_id": nid[top].astype("int64"),
+                "sim": np.round(sim[top], 4).astype("float64"),
+            }
+        )
+
+    def merge_wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_topk(df.drop(columns=["qpart"]))
+
+    merge_wrapper.__name__ = "merge_topk"
+    return partials.groupby("qpart").map_groups(
+        merge_wrapper, batch_format="pandas"
+    )
 
 
 def q_sample_events(sf_dir: str):

@@ -2,6 +2,7 @@
 multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -187,3 +188,48 @@ def test_benchmark_frame_reproduces_reference_generator():
     np.testing.assert_array_equal(
         df["value"].to_numpy(), make_benchmark_frame(t, n)["value"].to_numpy()
     )
+
+
+def test_ann_ivf_distributed_matches_single_process(ray_session):
+    """The distributed IVF build/probe (sample-trained centroids, cell
+    groupby partials, query-hash merge) must reproduce IVFIndex.search
+    exactly when the training sample covers the whole corpus."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.datapipe.similarity import IVFIndex, _kmeans
+    from eristropy_ray.pipelines.queries import q_ann_ivf
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        q_ann_ivf(sf)
+        .to_pandas()
+        .astype({"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        .sort_values(["vec_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack([np.asarray(x, np.float64) for x in tbl["embedding"].to_pylist()])
+    cent = _kmeans(unit_rows(emb[np.argsort(ids)]), 16, seed=7)
+    u = unit_rows(emb)
+    assign = (u @ cent.T).argmax(axis=1)
+    idx = IVFIndex(
+        cent,
+        [ids[assign == c] for c in range(16)],
+        [u[assign == c] for c in range(16)],
+    )
+    gi, gs = idx.search(u, k=6, n_probe=4)
+    rows = {"vec_id": [], "neighbor_id": [], "sim": []}
+    for i in range(u.shape[0]):
+        mask = gi[i] != ids[i]
+        nb, sm = gi[i][mask][:5], gs[i][mask][:5]
+        rows["vec_id"].extend([int(ids[i])] * nb.size)
+        rows["neighbor_id"].extend(nb.tolist())
+        rows["sim"].extend(np.round(sm, 4).tolist())
+    exp = (
+        pd.DataFrame(rows)
+        .astype({"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        .sort_values(["vec_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
