@@ -24,11 +24,39 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; returns a Dataset."""
-    from eristropy_ray.pipelines.queries import q_transcript_rollup
+def _colocated_files(sf_dir: str, n_files: int = 8) -> list[str]:
+    """Partition the events table into conversation-complete transcript
+    files (deterministic /tmp cache with an atomic _SUCCESS marker) so
+    entry() exercises the multi-file colocated flagship path."""
+    import os
 
-    return q_transcript_rollup("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.sources.transcripts import events_to_transcripts
+
+    out = Path(f"/tmp/eristropy_ray/entry_colocated_{Path(sf_dir).name}_{n_files}")
+    done = out / "_SUCCESS"
+    if not done.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        events = pq.read_table(f"{sf_dir}/events.parquet")
+        uid = events["user_id"].to_numpy()
+        for p in range(n_files):
+            import pyarrow as pa
+
+            sub = events.filter(pa.array(uid % n_files == p))
+            tmp = out / f".part-{p:05d}.parquet.tmp"
+            pq.write_table(events_to_transcripts(sub), tmp)
+            os.replace(tmp, out / f"part-{p:05d}.parquet")
+        done.touch()
+    return sorted(str(p) for p in out.glob("*.parquet"))
+
+
+def entry() -> Any:
+    """Flagship pipeline (multi-file zero-shuffle colocated rollup) on
+    /root/testdata/sf0.01; returns a Dataset of rollup rows."""
+    from eristropy_ray.pipelines.rollup import rollup_files_colocated
+
+    return rollup_files_colocated(_colocated_files("/root/testdata/sf0.01"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -267,14 +267,19 @@ def q_similarity_topk(sf_dir: str, k: int = 10):
             [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
         )
         norms = np.sqrt((emb * emb).sum(axis=1))
-        sims = (emb @ q) / norms
+        sims = np.round((emb @ q) / norms, 4)
+        ids = b["vec_id"].to_numpy()
+        # per-block top-k on the SAME key as the final sort, so the tiny
+        # merge below equals a global sort+limit without the all-to-all
+        head = np.lexsort((ids, -sims))[:k]
         return pa.table(
             {
-                "vec_id": b["vec_id"],
-                "sim": pa.array(np.round(sims, 4), pa.float64()),
+                "vec_id": pa.array(ids[head], pa.int64()),
+                "sim": pa.array(sims[head], pa.float64()),
             }
         )
 
+    # merge of per-block heads: the sort input is num_blocks x k rows
     scored = ds.map_batches(score, batch_format="pyarrow")
     top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
     return top
@@ -327,19 +332,52 @@ def q_transcript_rollup(sf_dir: str):
     return rollup_dataset(turns, RollupConfig())
 
 
-def q_tier_blocks(sf_dir: str):
-    """Gap-filled Gorilla/DoD tier blocks (rows-only; binary columns
-    dropped for the driver's hasher — sizes and counts remain)."""
+def _tier_block_ds(sf_dir: str):
     from eristropy_ray.pipelines.rollup import encode_dataset, rollup_dataset
     from eristropy_ray.sources.transcripts import events_to_transcripts
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet")
     turns = ds.map_batches(events_to_transcripts, batch_format="pyarrow")
-    blocks = encode_dataset(rollup_dataset(turns, RollupConfig()))
-    return blocks.select_columns(
-        ["conv_id", "tier", "block_start", "n_points", "gap_filled_points",
-         "raw_bytes", "enc_bytes"]
-    )
+    return encode_dataset(rollup_dataset(turns, RollupConfig()))
+
+
+def q_tier_blocks(sf_dir: str):
+    """Gap-filled tier blocks: per (conv, tier, block) boundary, point and
+    gap-filled-point counts — binary-exact vs a dense-grid windowed SQL
+    oracle (generate_series grid LEFT JOIN observed buckets)."""
+    blocks = _tier_block_ds(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "tier": b["tier"],
+                "block_start_us": pc.cast(b["block_start"], pa.int64()),
+                "n_points": pc.cast(b["n_points"], pa.int64()),
+                "gap_filled_points": pc.cast(b["gap_filled_points"], pa.int64()),
+            }
+        )
+
+    return blocks.map_batches(project, batch_format="pyarrow")
+
+
+def q_tier_block_sizes(sf_dir: str):
+    """Compression accounting per tier block (raw vs Gorilla/DoD-encoded
+    bytes; rows-only — codec output is pinned by round-trip tests)."""
+    blocks = _tier_block_ds(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "tier": b["tier"],
+                "block_start_us": pc.cast(b["block_start"], pa.int64()),
+                "raw_bytes": b["raw_bytes"],
+                "enc_bytes": b["enc_bytes"],
+            }
+        )
+
+    return blocks.map_batches(project, batch_format="pyarrow")
 
 
 def q_stationary_signals(sf_dir: str):
@@ -1130,6 +1168,7 @@ QUERIES = {
     "adf_stationarity": q_adf_stationarity,
     "transcript_rollup": q_transcript_rollup,
     "tier_blocks": q_tier_blocks,
+    "tier_block_sizes": q_tier_block_sizes,
     "stationary_signals": q_stationary_signals,
     "sampen_optimized": q_sampen_optimized,
     "sampen_efficiency": q_sampen_efficiency,
@@ -1167,7 +1206,72 @@ GROUP BY 1, 2
 """
 
 
+def _langid_sql() -> str:
+    """SQL twin of q_langid, generated from the SAME stopword sets so the
+    two sides cannot drift."""
+    from eristropy_ray.datapipe.textstats import _STOPWORDS
+
+    def inlist(ws: set[str]) -> str:
+        return "(" + ",".join(f"'{w}'" for w in sorted(ws)) + ")"
+
+    score_cols = ",\n    ".join(
+        f"CAST(len(list_filter(ws, x -> x IN {inlist(sw)})) AS DOUBLE)"
+        f"/greatest(len(ws),1) AS s_{lang}"
+        for lang, sw in sorted(_STOPWORDS.items())
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '[\\p{{L}}]+'), x -> lower(x)) AS ws
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+    {score_cols},
+    CAST(len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]')) AS DOUBLE)
+      /greatest(length(text),1) AS s_zh
+  FROM w
+), u AS (
+  SELECT doc_id, unnest(['de','en','es','fr','it','zh']) AS lang,
+         unnest([s_de,s_en,s_es,s_fr,s_it,s_zh]) AS score FROM sc
+), r AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM u
+)
+SELECT doc_id, CASE WHEN score >= 0.02 THEN lang ELSE 'unknown' END AS lang_pred
+FROM r WHERE rn = 1
+"""
+
+
+_TIER_BLOCKS_SQL = """
+WITH t(tier, step) AS (VALUES ('1m', 60000000), ('1h', 3600000000), ('1d', 86400000000)),
+b AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, t.tier, t.step,
+         epoch_us(ts) - epoch_us(ts) % t.step AS bucket
+  FROM events, t GROUP BY 1,2,3,4
+), g AS (
+  SELECT conv_id, tier, step, MIN(bucket) AS b0, MAX(bucket) AS b1
+  FROM b GROUP BY 1,2,3
+), grid AS (
+  SELECT g.conv_id, g.tier, g.step, gs.i AS idx, g.b0 + gs.i*g.step AS bucket
+  FROM g, LATERAL (
+    SELECT unnest(generate_series(0, CAST((g.b1-g.b0)/g.step AS BIGINT))) AS i
+  ) gs
+)
+SELECT grid.conv_id, grid.tier,
+       MIN(grid.bucket) AS block_start_us,
+       COUNT(*) AS n_points,
+       CAST(SUM(CASE WHEN b.bucket IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS gap_filled_points
+FROM grid LEFT JOIN b
+  ON b.conv_id = grid.conv_id AND b.tier = grid.tier AND b.bucket = grid.bucket
+GROUP BY grid.conv_id, grid.tier, grid.idx // 4096
+"""
+
+
 ORACLE_SQL = {
+    "langid": _langid_sql(),
+    "tier_blocks": _TIER_BLOCKS_SQL,
     "signal_counts": """
 SELECT user_id, COUNT(*) AS n_obs, MIN(value) AS value_min, MAX(value) AS value_max
 FROM events GROUP BY user_id
