@@ -132,7 +132,13 @@ def gather_padded(
 
 def masked_radius(P: np.ndarray, lengths: np.ndarray, r_frac: float) -> np.ndarray:
     """Per-window radius r = r_frac * population std (1.0 for constant
-    windows), computed from the padded matrix via masked moment sums."""
+    windows), computed from the padded matrix via masked moment sums.
+
+    NOT bit-compatible with the engine's radius: this accumulates the
+    centered second moment with pairwise row sums, while the engine uses
+    ``window_radii_from_moments`` over reduceat segment sums — for long
+    windows the float accumulation order differs in the last ulp. Test
+    helper only; never substitute it into the rollup path."""
     mask = np.arange(P.shape[1])[None, :] < lengths[:, None]
     vals = np.where(mask, P, 0.0)
     n = np.maximum(lengths, 1).astype(np.float64)

@@ -162,7 +162,14 @@ def update_windows_incremental(
 
     key = ["conv_id", "tier", "bucket_ts"]
     existing = rollup_rows.copy()
-    existing["bucket_ts"] = pd.to_datetime(existing["bucket_ts"])
+    # same dtype dispatch as _ts_us: int64 bucket_ts (the dtype
+    # rollup_windows itself emits) is MICROSECONDS, not the nanoseconds
+    # a unit-less to_datetime would assume — a silent unit mismatch here
+    # makes every upsert key miss and duplicates the touched rows
+    if pd.api.types.is_integer_dtype(existing["bucket_ts"]):
+        existing["bucket_ts"] = pd.to_datetime(existing["bucket_ts"], unit="us")
+    else:
+        existing["bucket_ts"] = pd.to_datetime(existing["bucket_ts"])
     replaced_keys = set(map(tuple, recomputed[key].itertuples(index=False)))
     keep_mask = [
         tuple(row) not in replaced_keys

@@ -305,12 +305,11 @@ def run_rollup_job(
             n_rows = rd.read_parquet(rows_path).count()
             n_blocks = rd.read_parquet(blocks_path).count()
             t1 = time.time()
+            # one emission for the fused stage so the shared wall time is
+            # not double-counted in lineage totals
             metrics.emit(
-                stage="rollup", shard=shard_id, rows_out=n_rows,
-                input_files=len(files), wall_s=round(t1 - t0, 3),
-            )
-            metrics.emit(
-                stage="encode", shard=shard_id, rows_out=n_blocks,
+                stage="rollup_encode_fused", shard=shard_id, rows_out=n_rows,
+                blocks_out=n_blocks, input_files=len(files),
                 wall_s=round(t1 - t0, 3),
             )
             manifest.mark_complete(shard_id, "rollup", rows_path, n_rows, t1 - t0)

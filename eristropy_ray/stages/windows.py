@@ -60,7 +60,7 @@ def _entropy_pair(x: np.ndarray, r: float, cfg: RollupConfig) -> tuple[float, fl
 
 
 def window_radii_from_moments(
-    sums: np.ndarray, ssq_centered: np.ndarray, counts: np.ndarray, r_frac: float
+    ssq_centered: np.ndarray, counts: np.ndarray, r_frac: float
 ) -> np.ndarray:
     """r = r_frac * population std from centered second moments; 1.0 for
     constant windows (keeps SampEn(constant)=0). One shared definition for
@@ -79,7 +79,7 @@ def raw_window_radius(x: np.ndarray, r_frac: float) -> float:
     c = x - mean
     ssq = np.add.reduceat(c * c, [0])[0]
     return float(window_radii_from_moments(
-        np.array([0.0]), np.array([ssq]), np.array([n]), r_frac
+        np.array([ssq]), np.array([n]), r_frac
     )[0])
 
 
@@ -95,7 +95,7 @@ def diff_window_radius(x: np.ndarray, r_frac: float) -> float:
     c = d - mean
     ssq = np.add.reduceat(c * c, [0])[0]
     return float(window_radii_from_moments(
-        np.array([0.0]), np.array([ssq]), np.array([n - 1]), r_frac
+        np.array([ssq]), np.array([n - 1]), r_frac
     )[0])
 
 
@@ -193,7 +193,7 @@ def rollup_windows(
         ssq_c = np.add.reduceat(centered * centered, starts)
         var = ssq_c / counts
         stds = np.sqrt(var)
-        r_raw = window_radii_from_moments(sums, ssq_c, counts, cfg.r_frac)
+        r_raw = window_radii_from_moments(ssq_c, counts, cfg.r_frac)
 
         n_win = starts.size
         use_diff = cfg.preprocess == "difference"
@@ -214,7 +214,7 @@ def rollup_windows(
             cd[starts] = 0.0
             ssq_d = np.add.reduceat(cd * cd, starts)
             r_diff = window_radii_from_moments(
-                sums, ssq_d, np.maximum(counts - 1, 1), cfg.r_frac
+                ssq_d, np.maximum(counts - 1, 1), cfg.r_frac
             )
             s_diff, p_diff = _window_entropies(
                 dv, starts + 1, counts - 1, eligible, r_diff, cfg

@@ -126,3 +126,32 @@ def test_retention(ray_session, tmp_path):
     assert deleted["1d"] == 0
     assert not list((tmp_path / "out").glob("**/tier=1m/*.parquet"))
     assert list((tmp_path / "out").glob("**/tier=1d/*.parquet"))
+
+
+def test_incremental_update_accepts_int64_us_bucket_ts(rng):
+    """rollup_windows emits int64 microsecond bucket_ts; the upsert must
+    interpret it as µs (a unit-less to_datetime would read ns, match no
+    keys, and silently duplicate every touched row)."""
+    cfg = RollupConfig()
+    df = _turns(rng, n_convs=2, n=120)
+    late_mask = (df["conv_id"] == "c0") & (df["turn_idx"] >= 80)
+    initial, late = df[~late_mask], df[late_mask]
+
+    raw = pd.DataFrame(
+        rollup_windows(
+            initial["conv_id"].to_numpy(dtype=object),
+            initial["turn_idx"].to_numpy(),
+            initial["ts"].to_numpy(),
+            initial["value"].to_numpy(),
+            cfg,
+        )
+    )
+    assert pd.api.types.is_integer_dtype(raw["bucket_ts"])  # the raw dtype
+    updated = update_windows_incremental(raw, initial, late, cfg)
+    full = _rollup_df(df, cfg)
+    key = ["conv_id", "tier", "bucket_ts"]
+    pd.testing.assert_frame_equal(
+        updated.sort_values(key, kind="stable").reset_index(drop=True)[full.columns],
+        full.sort_values(key, kind="stable").reset_index(drop=True),
+        check_exact=True,
+    )
