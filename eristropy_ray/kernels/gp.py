@@ -129,3 +129,72 @@ def draw_ls_candidates(
     """
     rng = np.random.RandomState(seed)
     return rng.uniform(ls_range[0], ls_range[1], size=n_searches)
+
+
+def stable_signal_key(signal_id) -> int:
+    """Deterministic non-negative int key for any signal id (ints pass
+    through; strings get a polynomial hash — Python's str hash is salted
+    and must never leak into seeding)."""
+    if isinstance(signal_id, (int, np.integer)):
+        return int(signal_id) & 0x7FFFFFFF
+    h = 0
+    for b in str(signal_id).encode("utf-8"):
+        h = (h * 1_000_003 + b) & 0x7FFFFFFF
+    return h
+
+
+def detrend_gp_cv_search(
+    X: np.ndarray,
+    y: np.ndarray,
+    ls_range: tuple[float, float],
+    seed: int | None,
+    signal_key: int,
+    n_iter: int = 10,
+    n_splits: int = 5,
+    alpha: float = 1e-10,
+) -> np.ndarray:
+    """T5 semantics, de-bugged (reference ``gp.py:18-113``): per-signal
+    uniform length-scale draw (RandomizedSearchCV style), TimeSeriesSplit
+    forward-chaining CV, GP with per-fold target normalization
+    (``normalize_y=True``) and ``alpha`` diagonal jitter, neg-MSE
+    selection (ties -> first drawn candidate), refit on the full series,
+    residual ``y - yhat``.
+
+    Documented divergences from the reference variant:
+    - the reference feeds ONE sequential RandomState through a driver-side
+      loop over signals; a distributed stage cannot share that cursor, so
+      candidates are seeded per signal from ``(seed, signal_key)`` —
+      deterministic and partition-order independent;
+    - the reference's output id bug (column name instead of the id,
+      gp.py:104) is not reproduced;
+    - sklearn's numerics (fold-local y normalization, 1e-10 jitter) are
+      reimplemented in numpy, not imported.
+    """
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    if X.shape[0] == 1 and X.shape[1] > 1:
+        X = X.T
+    y = np.asarray(y, dtype=np.float64)
+    rng = np.random.Generator(
+        np.random.PCG64(np.random.SeedSequence([int(seed or 0), int(signal_key)]))
+    )
+    ls_vals = rng.uniform(ls_range[0], ls_range[1], size=n_iter)
+
+    def fold_mse(ls: float) -> float:
+        errs = []
+        for tr, te in time_series_split(X.shape[0], n_splits):
+            mu = float(y[tr].mean())
+            sd = float(y[tr].std())
+            sd = sd if sd > 0.0 else 1.0
+            a = gp_fit(X[tr], (y[tr] - mu) / sd, ls, alpha)
+            yhat = gp_predict(X[tr], X[te], ls, a) * sd + mu
+            resid = y[te] - yhat
+            errs.append(float((resid * resid).mean()))
+        return float(np.mean(errs))
+
+    errors = [fold_mse(ls) for ls in ls_vals]
+    ls_star = float(ls_vals[int(np.argmin(errors))])
+    mu = float(y.mean())
+    sd = float(y.std())
+    sd = sd if sd > 0.0 else 1.0
+    a = gp_fit(X, (y - mu) / sd, ls_star, alpha)
+    return y - (gp_predict(X, X, ls_star, a) * sd + mu)

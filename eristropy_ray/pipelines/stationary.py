@@ -31,7 +31,12 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from eristropy_ray.kernels.gp import detrend_gp, draw_ls_candidates
+from eristropy_ray.kernels.gp import (
+    detrend_gp,
+    detrend_gp_cv_search,
+    draw_ls_candidates,
+    stable_signal_key,
+)
 from eristropy_ray.kernels.linreg import detrend_linreg
 from eristropy_ray.kernels.multitest import holm_sidak
 from eristropy_ray.stages.signals import (
@@ -56,12 +61,19 @@ class StationaryConfig:
     eps: float = 1e-6
     normalize_signals: bool = True
     gp_arange_semantics: bool = True
+    # "numba": T4 semantics (shared candidate draw, unnormalized target);
+    # "cv_search": de-bugged T5 semantics (per-signal RandomizedSearchCV-
+    # style draw, fold-local normalize_y, 1e-10 jitter) — see
+    # kernels/gp.py:detrend_gp_cv_search for the documented divergences
+    gp_implementation: str = "numba"
 
     def __post_init__(self) -> None:
         if self.method not in ("difference", "detrend"):
             raise ValueError("method must be 'difference' or 'detrend'")
         if self.detrend_type not in ("lr", "gp"):
             raise ValueError("detrend_type must be 'lr' or 'gp'")
+        if self.gp_implementation not in ("numba", "cv_search"):
+            raise ValueError("gp_implementation must be 'numba' or 'cv_search'")
         if not 0 < self.alpha < 1:
             raise ValueError("alpha must be in (0, 1)")
         if self.ls_range[0] <= 0 or self.ls_range[0] >= self.ls_range[1]:
@@ -92,6 +104,7 @@ def make_gp_detrend_partition(cfg: StationaryConfig, ls_vals_ref):
         ends = np.append(starts[1:], v.size)
         out = np.empty_like(v)
         ts_out = sdf["ts_us"].to_numpy(dtype=np.float64).copy()
+        sig_ids = sdf["signal_id"].to_numpy()
         for s, e in zip(starts, ends):
             if e - s < cfg.n_splits + 2:
                 # too short for forward-chaining CV (the reference would
@@ -102,9 +115,16 @@ def make_gp_detrend_partition(cfg: StationaryConfig, ls_vals_ref):
                     ts_out[s:e] = np.arange(e - s, dtype=np.float64)
                 continue
             X = np.arange(e - s, dtype=np.float64).reshape(-1, 1)
-            out[s:e] = detrend_gp(
-                X, v[s:e], ls_vals, n_splits=cfg.n_splits, eps=cfg.eps
-            )
+            if cfg.gp_implementation == "cv_search":
+                out[s:e] = detrend_gp_cv_search(
+                    X, v[s:e], cfg.ls_range, cfg.random_seed,
+                    stable_signal_key(sig_ids[s]),
+                    n_iter=cfg.n_searches, n_splits=cfg.n_splits,
+                )
+            else:
+                out[s:e] = detrend_gp(
+                    X, v[s:e], ls_vals, n_splits=cfg.n_splits, eps=cfg.eps
+                )
             if cfg.gp_arange_semantics:
                 ts_out[s:e] = X.ravel()
         res = sdf[["signal_id"]].copy()
@@ -146,8 +166,13 @@ def make_stationary_signals(
     elif cfg.detrend_type == "lr":
         transformed = _grouped(signals, linreg_detrend_partition)
     else:
-        ls_vals = draw_ls_candidates(cfg.ls_range, cfg.n_searches, cfg.random_seed)
-        ls_ref = ray.put(ls_vals)
+        if cfg.gp_implementation == "cv_search":
+            ls_ref = None  # cv_search draws per signal; no shared broadcast
+        else:
+            ls_vals = draw_ls_candidates(
+                cfg.ls_range, cfg.n_searches, cfg.random_seed
+            )
+            ls_ref = ray.put(ls_vals)
         transformed = _grouped(signals, make_gp_detrend_partition(cfg, ls_ref))
     transformed = transformed.materialize()
 

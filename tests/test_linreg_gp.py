@@ -4,6 +4,7 @@ the reference's pinned golden values (tests/test_gp.py:92-141)."""
 import math
 
 import numpy as np
+import pandas as pd
 
 from eristropy_ray.kernels.gp import (
     cholesky_solve,
@@ -123,3 +124,99 @@ def test_gp_fit_predict_interpolates_smooth_trend(rng):
 def test_draw_ls_candidates_reproduces_randomstate():
     want = np.random.RandomState(17).uniform(10.0, 100.0, size=10)
     np.testing.assert_array_equal(draw_ls_candidates((10.0, 100.0), 10, 17), want)
+
+
+def test_cv_search_matches_independent_reimplementation():
+    """detrend_gp_cv_search (de-bugged T5, reference gp.py:18-113) vs a
+    from-scratch fold loop written independently here: same draws, same
+    fold-local normalize_y, same alpha jitter, same tie rule."""
+    from eristropy_ray.kernels.gp import (
+        detrend_gp_cv_search,
+        gp_fit,
+        gp_predict,
+        time_series_split,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 48
+    y = 0.3 * np.arange(n) + np.sin(np.arange(n) / 4.0) + rng.normal(0, 0.2, n)
+    X = np.arange(float(n)).reshape(-1, 1)
+    seed, key = 42, 9
+
+    # independent oracle
+    g = np.random.Generator(np.random.PCG64(np.random.SeedSequence([seed, key])))
+    cand = g.uniform(10.0, 100.0, size=10)
+    scores = []
+    for ls in cand:
+        errs = []
+        for tr, te in time_series_split(n, 5):
+            mu, sd = y[tr].mean(), y[tr].std()
+            sd = sd or 1.0
+            a = gp_fit(X[tr], (y[tr] - mu) / sd, ls, 1e-10)
+            pred = gp_predict(X[tr], X[te], ls, a) * sd + mu
+            errs.append(((y[te] - pred) ** 2).mean())
+        scores.append(np.mean(errs))
+    ls_star = cand[int(np.argmin(scores))]
+    mu, sd = y.mean(), y.std()
+    sd = sd or 1.0
+    a = gp_fit(X, (y - mu) / sd, ls_star, 1e-10)
+    want = y - (gp_predict(X, X, ls_star, a) * sd + mu)
+
+    got = detrend_gp_cv_search(X, y, (10.0, 100.0), seed, key)
+    np.testing.assert_array_equal(got, want)
+    # deterministic and key-sensitive
+    np.testing.assert_array_equal(
+        got, detrend_gp_cv_search(X, y, (10.0, 100.0), seed, key)
+    )
+    assert not np.array_equal(
+        got, detrend_gp_cv_search(X, y, (10.0, 100.0), seed, key + 1)
+    )
+
+
+def test_cv_search_pipeline_variant(ray_session):
+    """gp_implementation='cv_search' runs end-to-end, is deterministic,
+    and differs from the T4 'numba' variant on the same input."""
+    import ray.data as rd
+
+    from eristropy_ray.pipelines.stationary import (
+        StationaryConfig,
+        make_stationary_signals,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for sid in range(6):
+        n = 60
+        frames.append(
+            pd.DataFrame(
+                {
+                    "signal_id": sid,
+                    "ts_us": np.arange(n, dtype=np.int64) * 1_000_000,
+                    "value": np.cumsum(rng.normal(size=n)) + 0.2 * np.arange(n),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    ds = rd.from_pandas(df)
+
+    def run(impl):
+        out, info = make_stationary_signals(
+            ds,
+            StationaryConfig(
+                method="detrend", detrend_type="gp", random_seed=42,
+                gp_implementation=impl, normalize_signals=False,
+            ),
+        )
+        return (
+            out.to_pandas()
+            .sort_values(["signal_id", "ts_us"], kind="stable")
+            .reset_index(drop=True),
+            info,
+        )
+
+    a1, _ = run("cv_search")
+    a2, _ = run("cv_search")
+    pd.testing.assert_frame_equal(a1, a2)
+    b, _ = run("numba")
+    if len(a1) and len(a1) == len(b):
+        assert not np.array_equal(a1["value"].to_numpy(), b["value"].to_numpy())
