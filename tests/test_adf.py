@@ -94,3 +94,98 @@ def test_stationarity_decision_pipeline(rng):
     assert not reject_raw[0]  # linear ramp is non-stationary
     p_diff = adf_pvalue_or_one(np.diff(ramp) + rng.normal(scale=0.01, size=99))
     assert p_diff < 0.05
+
+
+# ---------------------------------------------------------------------------
+# statsmodels-convention golden: an INDEPENDENT transliteration of the
+# adfuller(x, regression='c', autolag='AIC') flow (lagmat trim='both',
+# original='in'; prepended constant during autolag; OLS aic = -2llf + 2k;
+# min-(aic, lag) tie rule; longest-sample refit; MacKinnon 1994 surface),
+# written against the public statsmodels source/docs — NOT sharing code
+# with kernels/adf.py. Verifies lag selection + the p-value surface on
+# varied series including boundary lengths where Schwert's rule flips.
+# ---------------------------------------------------------------------------
+
+
+def _sm_ols(y, X):
+    beta = np.linalg.solve(X.T @ X, X.T @ y)
+    resid = y - X @ beta
+    ssr = float(resid @ resid)
+    n, k = X.shape
+    llf = -0.5 * n * (np.log(2 * np.pi) + np.log(ssr / n) + 1.0)
+    aic = -2.0 * llf + 2.0 * k
+    sigma2 = ssr / (n - k)
+    se = np.sqrt(np.diag(sigma2 * np.linalg.inv(X.T @ X)))
+    return beta, beta / se, aic
+
+
+def _sm_adfuller_c(x):
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    xdiff = np.diff(x)
+    nobs_d = xdiff.size
+    maxlag = int(np.ceil(12.0 * (nobs_d / 100.0) ** 0.25))
+    maxlag = min(nobs_d // 2 - 2, maxlag)
+    # lagmat(xdiff, maxlag, 'both', 'in'): rows t = maxlag..nobs_d-1,
+    # cols [xdiff_t, xdiff_{t-1}, ..., xdiff_{t-maxlag}]
+    nobs = nobs_d - maxlag
+    xdshort = xdiff[-nobs:]
+    lags = np.column_stack(
+        [xdiff[maxlag - k : nobs_d - k] for k in range(1, maxlag + 1)]
+    ) if maxlag else np.empty((nobs, 0))
+    level = x[-nobs - 1 : -1]
+    const = np.ones(nobs)
+    best = None
+    for nlag in range(0, maxlag + 1):
+        X = np.column_stack([const, level, lags[:, :nlag]])
+        _, _, aic = _sm_ols(xdshort, X)
+        key = (aic, nlag)
+        if best is None or key < best:
+            best = key
+    usedlag = best[1]
+    nobs2 = nobs_d - usedlag
+    xdshort2 = xdiff[-nobs2:]
+    lags2 = np.column_stack(
+        [xdiff[usedlag - k : nobs_d - k] for k in range(1, usedlag + 1)]
+    ) if usedlag else np.empty((nobs2, 0))
+    X2 = np.column_stack([x[-nobs2 - 1 : -1], lags2, np.ones(nobs2)])
+    _, tvals, _ = _sm_ols(xdshort2, X2)
+    return float(tvals[0]), usedlag
+
+
+def _golden_series():
+    rng = np.random.default_rng(2024)
+    out = []
+    for n in (30, 50, 99, 100, 101, 150, 200, 257):
+        out.append(("rw%d" % n, np.cumsum(rng.normal(size=n))))           # unit root
+        out.append(("ar%d" % n, _ar1(rng, n, 0.5)))                        # stationary
+    for phi in (0.9, 0.95, 0.99):  # near-alpha cases
+        out.append(("near%g" % phi, _ar1(rng, 120, phi)))
+    out.append(("trend", 0.05 * np.arange(150) + rng.normal(size=150)))
+    out.append(("sine", np.sin(np.arange(130) / 3.0) + 0.1 * rng.normal(size=130)))
+    out.append(("ma", np.convolve(rng.normal(size=160), [1, 0.8], "valid")))
+    out.append(("het", rng.normal(size=140) * np.linspace(0.5, 3.0, 140)))
+    return out
+
+
+def _ar1(rng, n, phi):
+    x = np.zeros(n)
+    e = rng.normal(size=n)
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + e[i]
+    return x
+
+
+def test_adfuller_matches_statsmodels_conventions():
+    from eristropy_ray.kernels.adf import adfuller_c, mackinnon_pvalue
+
+    series = _golden_series()
+    assert len(series) >= 20
+    for name, x in series:
+        want_stat, want_lag = _sm_adfuller_c(x)
+        got_stat, got_p, got_lag = adfuller_c(x)
+        assert got_lag == want_lag, (name, got_lag, want_lag)
+        np.testing.assert_allclose(got_stat, want_stat, rtol=1e-8, err_msg=name)
+        np.testing.assert_allclose(
+            got_p, mackinnon_pvalue(want_stat), rtol=1e-10, err_msg=name
+        )
