@@ -836,6 +836,116 @@ def q_ann_ivf(
     )
 
 
+def q_embedding_neardup(sf_dir: str, tau: float = 0.45):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline vs
+    a broadcast unit matrix — same labeled pattern as q_knn_all; the scale
+    path buckets by IVF cell first). Emits pair ids only: the cosine
+    itself differs from DuckDB's sequential accumulation in the last ulp,
+    while threshold membership is stable (the nearest pair sits ~5e-4
+    from tau on this corpus)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in tbl["embedding"].to_pylist()]
+    )
+    unit = emb / np.maximum(np.sqrt((emb * emb).sum(axis=1, keepdims=True)), 1e-30)
+    ref = ray.put((ids, unit))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c_ids, c_unit = _ray.get(ref)
+        q_ids = b["vec_id"].to_numpy()
+        q = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
+        )
+        qu = q / np.maximum(np.sqrt((q * q).sum(axis=1, keepdims=True)), 1e-30)
+        sims = qu @ c_unit.T
+        rows_a, rows_b = [], []
+        for i in range(qu.shape[0]):
+            hit = np.flatnonzero((sims[i] >= tau) & (c_ids > q_ids[i]))
+            rows_a.extend([int(q_ids[i])] * hit.size)
+            rows_b.extend(c_ids[hit].tolist())
+        return pa.table(
+            {
+                "vec_a": pa.array(rows_a, pa.int64()),
+                "vec_b": pa.array(rows_b, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
+    """Exact all-pairs character-n-gram Jaccard near-dup (the exactness
+    baseline; minhash_neardup is the scale path). Corpus gram incidence
+    is packed into bitsets (one bit per vocab gram) and broadcast once —
+    ~2 MB per 5k docs at a 30k-gram vocab — then each batch scores its
+    rows against the whole corpus with an AND+popcount sweep. Jaccard is
+    an int/int double ratio, so it is bit-identical to the SQL oracle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from eristropy_ray.datapipe.textstats import rolling_kgram_hashes
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy().astype(np.int64)
+    texts = tbl["text"].to_pylist()
+
+    def grams(t: str) -> np.ndarray:
+        if len(t) == 0:
+            return np.array([np.uint64(0)], dtype=np.uint64)  # SQL: {''}
+        if len(t) < k:
+            return np.unique(rolling_kgram_hashes(t, len(t)))
+        return np.unique(rolling_kgram_hashes(t, k))
+
+    gram_sets = [grams(t) for t in texts]
+    vocab = np.unique(np.concatenate(gram_sets))
+    nbytes = (vocab.size + 7) // 8
+    bits = np.zeros((ids.size, nbytes), dtype=np.uint8)
+    for i, g in enumerate(gram_sets):
+        pos = np.searchsorted(vocab, g)
+        np.bitwise_or.at(bits[i], pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    sizes = np.array([g.size for g in gram_sets], dtype=np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], bits[order], sizes[order]))
+    pop = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint16)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c_ids, c_bits, c_sizes = _ray.get(ref)
+        q_ids = b["doc_id"].to_numpy().astype(np.int64)
+        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for qid in q_ids:
+            qi = int(np.searchsorted(c_ids, qid))
+            inter = pop[np.bitwise_and(c_bits[qi][None, :], c_bits)].sum(
+                axis=1, dtype=np.int64
+            )
+            union = c_sizes[qi] + c_sizes - inter
+            j = inter / np.maximum(union, 1)
+            hit = np.flatnonzero((j >= tau) & (c_ids > qid))
+            rows["doc_a"].extend([int(qid)] * hit.size)
+            rows["doc_b"].extend(c_ids[hit].tolist())
+            rows["jaccard"].extend(j[hit].tolist())
+        return pa.table(
+            {
+                "doc_a": pa.array(rows["doc_a"], pa.int64()),
+                "doc_b": pa.array(rows["doc_b"], pa.int64()),
+                "jaccard": pa.array(rows["jaccard"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def q_sample_events(sf_dir: str):
     """Deterministic systematic sample (the reproducible analogue of
     random_sample; exact SQL oracle)."""
@@ -1177,6 +1287,8 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "simhash": q_simhash,
     "minhash_neardup": q_minhash_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
     "sample_events": q_sample_events,
@@ -1272,6 +1384,28 @@ GROUP BY grid.conv_id, grid.tier, grid.idx // 4096
 ORACLE_SQL = {
     "langid": _langid_sql(),
     "tier_blocks": _TIER_BLOCKS_SQL,
+    "ngram_jaccard": """
+WITH g AS (
+  SELECT doc_id, substring(text, gs.i, 3) AS gram
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+  ) gs(i)
+), s AS (
+  SELECT doc_id, list(DISTINCT gram) AS grams FROM g GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+""",
+    "embedding_neardup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
     "signal_counts": """
 SELECT user_id, COUNT(*) AS n_obs, MIN(value) AS value_min, MAX(value) AS value_max
 FROM events GROUP BY user_id

@@ -140,3 +140,25 @@ def test_sampen_efficiency(ray_session):
     )
     pd.testing.assert_frame_equal(out, out2)
     assert info["r_star_"] == info2["r_star_"]
+
+
+def test_tpe_lite_divergence_from_optuna_is_intentional(ray_session):
+    """Documented divergence (O3): the optimizer is TPE-lite, built from
+    the TPE paper (Bergstra et al., NeurIPS 2011) because optuna is not
+    installed. It honors the reference's ONLY tested contract — same seed
+    -> same optimum (reference tests/test_sample_entropy.py:547-574
+    asserts determinism, never specific optima) — but will NOT reproduce
+    optuna's exact (m*, r*, p*) draws on the reference fixtures: optuna's
+    sampler startup heuristics, EI candidate count and bandwidths differ.
+    This test pins the contract we do keep: determinism, in-range optima,
+    and seed sensitivity (different seeds explore differently)."""
+    df = _normal_signals(n_sig=2, n=80)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg17 = SampEnConfig(random_seed=17, n_boot=10, n_trials=8)
+        cfg18 = SampEnConfig(random_seed=18, n_boot=10, n_trials=8)
+    best17a, _ = find_optimal_sampen_params(_collect_signals(df), cfg17)
+    best17b, _ = find_optimal_sampen_params(_collect_signals(df), cfg17)
+    best18, _ = find_optimal_sampen_params(_collect_signals(df), cfg18)
+    assert best17a == best17b
+    assert best17a != best18  # seeds steer the search
