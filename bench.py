@@ -36,7 +36,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # overheads at both parallelism levels — the analogue of measuring cluster
 # scaling at production scale rather than on a toy input.
 _TURNS_PER_SF = int(os.environ.get("GRAFT_TURNS_PER_SF", 40_000_000))
-_SCALING_TURNS_PER_SF = 160_000_000
+_SCALING_TURNS_PER_SF = 320_000_000  # ~40M turns at sf0.1: keeps the
+# 32-CPU leg >10s so per-session fixed costs and VM noise stay <10% of
+# the measurement (at 160M/sf the top leg ran ~7s and run-to-run
+# efficiency swung 0.65-0.82)
 _BENCH_FILES = 256  # same input layout at every num_cpus level; ~4 waves at 32 CPUs
 
 
