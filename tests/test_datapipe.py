@@ -3,6 +3,8 @@ multimodal plumbing."""
 
 import numpy as np
 import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
 import pyarrow as pa
 import pytest
 
@@ -233,3 +235,67 @@ def test_ann_ivf_distributed_matches_single_process(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+# --- vectorized polynomial hashing vs per-byte brute force ---------------
+
+def _brute_word_hash(word: str) -> int:
+    h = 0
+    for b in word.encode("utf-8"):
+        h = (h * 0x9E3779B97F4A7C15 + b) & 0xFFFFFFFFFFFFFFFF
+    h = (h + (len(word.encode()) * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
+    # splitmix64 finalizer
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 31
+    return h
+
+
+@given(
+    st.lists(
+        st.text(
+            st.characters(blacklist_categories=("Cs",), blacklist_characters=" \t\n\r\x0b\x0c"),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_word_hashes_match_bruteforce(words):
+    from eristropy_ray.datapipe.dedup import word_hashes
+
+    text = " ".join(words)
+    got = word_hashes(text)
+    want = np.array([_brute_word_hash(w) for w in words], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(st.text(max_size=200), st.integers(min_value=1, max_value=7))
+@settings(max_examples=200, deadline=None)
+def test_rolling_kgram_matches_bruteforce(text, k):
+    from eristropy_ray.datapipe.textstats import rolling_kgram_hashes
+
+    got = rolling_kgram_hashes(text, k)
+    codes = [ord(c) for c in text]
+    want = []
+    for j in range(len(codes) - k + 1):
+        h = 0
+        for c in codes[j : j + k]:
+            h = (h * 1_000_003 + c) & 0xFFFFFFFFFFFFFFFF
+        want.append(h)
+    np.testing.assert_array_equal(got, np.array(want, dtype=np.uint64))
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_content_hash_matches_bruteforce(text):
+    from eristropy_ray.datapipe.textstats import content_hash64
+
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * 1_000_003 + b) & 0xFFFFFFFFFFFFFFFF
+    assert content_hash64(text) == h
