@@ -1,0 +1,75 @@
+"""Cardinality sketches for distributed distinct-count aggregates.
+
+HyperLogLog (Flajolet, Fusy, Gandouet, Meunier — AofA 2007) with the
+small-range linear-counting correction from the paper (§4): 2^p byte
+registers, rank = leading-zero count of the suffix. Registers merge by
+elementwise max, so the sketch is a commutative monoid — each Ray batch
+builds a partial register array and any tree/groupby combine order gives
+the identical final estimate (deterministic: the value hash is seeded
+splitmix64, never Python's salted ``hash``).
+
+Scale shape: a batch of N values reduces to one 2^p-byte row, so the
+shuffle that follows moves kilobytes per batch regardless of input size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P_DEFAULT = 12  # 4096 registers; ~1.04/sqrt(m) -> ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hll_partial(values: np.ndarray, p: int = _P_DEFAULT) -> np.ndarray:
+    """Register array (uint8, length 2^p) for one batch of int64 values."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if values.size == 0:
+        return regs
+    h = _splitmix64(np.asarray(values, dtype=np.int64).view(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # exact vectorized count-leading-zeros (binary descent, no float
+    # rounding: a frexp-based log2 undercounts near 2^k boundaries)
+    v = suffix.copy()
+    lz = np.zeros(h.size, dtype=np.uint8)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v < (np.uint64(1) << np.uint64(64 - s))
+        lz[m] += s
+        v[m] <<= np.uint64(s)
+    lz = np.where(suffix == 0, np.uint8(64 - p), np.minimum(lz, 64 - p))
+    rank = lz.astype(np.uint8) + 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Elementwise-max merge (commutative, associative, idempotent)."""
+    out = parts[0].copy()
+    for r in parts[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with the paper's small/large-range corrections."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            return m * float(np.log(m / zeros))
+    if est > (1 << 32) / 30.0:
+        return float(-(1 << 32) * np.log1p(-est / (1 << 32)))
+    return float(est)

@@ -946,6 +946,58 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per event_type: per-batch
+    pair dedup (combiner), one groupby to finish the dedup, then a count —
+    the shuffle moves unique pairs, never raw rows."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    uniq = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type"])
+    )
+    return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def q_distinct_users_approx(sf_dir: str, p: int = 12):
+    """HyperLogLog distinct users per event_type (rows-only; the error
+    bound vs the exact count is pinned in tests). Each batch reduces to
+    one 2^p-byte register row per event_type; merge is an elementwise
+    max inside one tiny groupby."""
+    from eristropy_ray.datapipe.sketch import hll_estimate, hll_merge, hll_partial
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"event_type": [], "regs": []}
+        for et, g in df.groupby("event_type", sort=True):
+            rows["event_type"].append(et)
+            rows["regs"].append(
+                hll_partial(g["user_id"].to_numpy(np.int64), p).tobytes()
+            )
+        return pd.DataFrame(rows)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge([np.frombuffer(b, dtype=np.uint8) for b in df["regs"]])
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_users_approx": [float(hll_estimate(regs))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def q_sample_events(sf_dir: str):
     """Deterministic systematic sample (the reproducible analogue of
     random_sample; exact SQL oracle)."""
@@ -1248,11 +1300,23 @@ def q_user_value_median(sf_dir: str):
     ds = _events_signals(sf_dir)
 
     def med_partition(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"signal_id": [], "value_median": []}
-        for sid, g in df.groupby("signal_id", sort=False):
-            rows["signal_id"].append(sid)
-            rows["value_median"].append(float(np.median(g["value"].to_numpy())))
-        return pd.DataFrame(rows)
+        sig = df["signal_id"].to_numpy()
+        val = df["value"].to_numpy(dtype=np.float64)
+        # one lexsort, then order-statistic medians at segment boundaries
+        # (identical to np.median per group: average of the two middle
+        # elements of the sorted values; values are NaN-free by schema)
+        order = np.lexsort((val, sig))
+        sig, val = sig[order], val[order]
+        starts = np.flatnonzero(np.concatenate(([True], sig[1:] != sig[:-1])))
+        counts = np.diff(np.append(starts, sig.size))
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        return pd.DataFrame(
+            {
+                "signal_id": sig[starts],
+                "value_median": (val[lo] + val[hi]) / 2.0,
+            }
+        )
 
     def wrapper(df: pd.DataFrame) -> pd.DataFrame:
         return med_partition(df.drop(columns=["part"]))
@@ -1291,6 +1355,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
+    "distinct_users": q_distinct_users,
+    "distinct_users_approx": q_distinct_users_approx,
     "sample_events": q_sample_events,
     "top_users": q_top_users,
     "orders_by_segment": q_orders_by_segment,
@@ -1405,6 +1471,10 @@ FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+    "distinct_users": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
 """,
     "signal_counts": """
 SELECT user_id, COUNT(*) AS n_obs, MIN(value) AS value_min, MAX(value) AS value_max

@@ -299,3 +299,42 @@ def test_content_hash_matches_bruteforce(text):
     for b in text.encode("utf-8"):
         h = (h * 1_000_003 + b) & 0xFFFFFFFFFFFFFFFF
     assert content_hash64(text) == h
+
+
+def test_hll_sketch_properties(rng):
+    """Determinism, merge==concat invariance, and error bound of the
+    HyperLogLog registers (Flajolet et al. 2007, p=12 -> ~1.6% se)."""
+    from eristropy_ray.datapipe.sketch import hll_estimate, hll_merge, hll_partial
+
+    vals = rng.integers(0, 10_000_000, size=50_000).astype(np.int64)
+    true_n = np.unique(vals).size
+    whole = hll_partial(vals)
+    # chunked build + max-merge equals the one-shot registers exactly
+    parts = [hll_partial(c) for c in np.array_split(vals, 7)]
+    np.testing.assert_array_equal(hll_merge(parts), whole)
+    est = hll_estimate(whole)
+    assert abs(est - true_n) / true_n < 0.05
+    # small-cardinality linear-counting regime is near-exact
+    small = hll_estimate(hll_partial(np.arange(150, dtype=np.int64)))
+    assert abs(small - 150) / 150 < 0.03
+    # deterministic across calls
+    assert hll_estimate(hll_partial(vals)) == est
+
+
+def test_distinct_users_approx_close_to_exact(ray_session):
+    from eristropy_ray.pipelines.queries import (
+        q_distinct_users,
+        q_distinct_users_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_distinct_users(sf).to_pandas().set_index("event_type")["n_users"]
+    approx = (
+        q_distinct_users_approx(sf)
+        .to_pandas()
+        .set_index("event_type")["n_users_approx"]
+    )
+    assert set(exact.index) == set(approx.index)
+    for et in exact.index:
+        rel = abs(approx[et] - exact[et]) / max(exact[et], 1)
+        assert rel < 0.05, (et, approx[et], exact[et])
