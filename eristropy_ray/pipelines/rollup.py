@@ -158,7 +158,12 @@ def rollup_files_colocated(
     # Ray's dynamic block splitting can still cut a file — and therefore a
     # conversation — across blocks, which silently breaks the window
     # contract. Observed in practice on the hot-conversation file.)
-    paths = rd.from_items([{"path": f} for f in files])
+    # one block per path: from_items otherwise packs ~1.3 paths/block,
+    # which breaks the one-task-per-file contract and would name a
+    # two-file batch's checkpoint after the first stem only
+    paths = rd.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    )
 
     def read_project_rollup(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -209,7 +214,12 @@ def fused_rollup_encode_colocated(
     from eristropy_ray.stages.rollup import _rollup_table
 
     encode_fn = make_partition_encode_fn(enc_cfg)
-    paths = rd.from_items([{"path": f} for f in files])
+    # one block per path: from_items otherwise packs ~1.3 paths/block,
+    # which breaks the one-task-per-file contract and would name a
+    # two-file batch's checkpoint after the first stem only
+    paths = rd.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    )
 
     def task(batch: pa.Table) -> pa.Table:
         import os
