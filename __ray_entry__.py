@@ -34,7 +34,14 @@ def _colocated_files(sf_dir: str, n_files: int = 8) -> list[str]:
 
     from eristropy_ray.sources.transcripts import events_to_transcripts
 
-    out = Path(f"/tmp/eristropy_ray/entry_colocated_{Path(sf_dir).name}_{n_files}")
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    # content fingerprint in the cache key: regenerated testdata must not
+    # serve stale cached transcripts
+    out = Path(
+        "/tmp/eristropy_ray/entry_colocated_"
+        f"{Path(sf_dir).name}_{n_files}_{st.st_size}_{int(st.st_mtime)}"
+    )
     done = out / "_SUCCESS"
     if not done.exists():
         out.mkdir(parents=True, exist_ok=True)

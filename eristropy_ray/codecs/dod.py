@@ -6,9 +6,9 @@ variable-length buckets, extended with a 64-bit escape because microsecond
 deltas exceed the paper's 32-bit bucket:
 
     D == 0                  -> '0'
-    D in (-63, 64]          -> '10'  + 7 bits
-    D in (-255, 256]        -> '110' + 9 bits
-    D in (-2047, 2048]      -> '1110' + 12 bits
+    D in (-64, 64]          -> '10'  + 7 bits
+    D in (-256, 256]        -> '110' + 9 bits
+    D in (-2048, 2048]      -> '1110' + 12 bits
     D in (-2^31, 2^31]      -> '11110' + 32 bits
     otherwise               -> '11111' + 64 bits
 

@@ -46,17 +46,48 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def _whitespace_mask(arr: np.ndarray) -> np.ndarray:
+    """Byte positions belonging to a Python ``\\s`` character in UTF-8.
+
+    Covers the full regex-``\\s`` set — ASCII (0x09-0x0D, 0x1C-0x1F,
+    0x20) plus the Unicode spaces NEL/NBSP (C2 85 / C2 A0), OGHAM SPACE
+    (E1 9A 80), U+2000-200A, LINE/PARA SEP (U+2028/29), NNBSP (U+202F),
+    MMSP (U+205F) and IDEOGRAPHIC SPACE (U+3000) — so tokenization is
+    identical to the ``\\S+`` splitter this replaced (a pair differing
+    only in NBSP vs space must still near-dup match)."""
+    ws = (arr == 32) | ((arr >= 9) & (arr <= 13)) | ((arr >= 0x1C) & (arr <= 0x1F))
+    if arr.size >= 2:
+        a0, a1 = arr[:-1], arr[1:]
+        two = (a0 == 0xC2) & ((a1 == 0xA0) | (a1 == 0x85))
+        ws[:-1] |= two
+        ws[1:] |= two
+    if arr.size >= 3:
+        a0, a1, a2 = arr[:-2], arr[1:-1], arr[2:]
+        three = (
+            ((a0 == 0xE1) & (a1 == 0x9A) & (a2 == 0x80))
+            | ((a0 == 0xE2) & (a1 == 0x80)
+               & (((a2 >= 0x80) & (a2 <= 0x8A)) | (a2 == 0xA8)
+                  | (a2 == 0xA9) | (a2 == 0xAF)))
+            | ((a0 == 0xE2) & (a1 == 0x81) & (a2 == 0x9F))
+            | ((a0 == 0xE3) & (a1 == 0x80) & (a2 == 0x80))
+        )
+        ws[:-2] |= three
+        ws[1:-1] |= three
+        ws[2:] |= three
+    return ws
+
+
 def word_hashes(text: str) -> np.ndarray:
-    """One uint64 hash per whitespace-separated word, fully vectorized.
+    """One uint64 hash per ``\\S+`` word, fully vectorized.
 
     Polynomial hash over the UTF-8 bytes (mod 2^64 via modular-inverse
-    prefix sums), length-salted and splitmix64-mixed. Multibyte UTF-8 is
-    safe: bytes >= 0x80 never collide with the ASCII whitespace tests.
+    prefix sums), length-salted and splitmix64-mixed. Word boundaries
+    come from ``_whitespace_mask`` (full Unicode ``\\s`` set).
     """
     arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    nonws = ~((arr == 32) | ((arr >= 9) & (arr <= 13)))
+    nonws = ~_whitespace_mask(arr)
     if not nonws.any():
         return np.zeros(0, dtype=np.uint64)
     d = np.diff(nonws.astype(np.int8))

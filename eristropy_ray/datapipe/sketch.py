@@ -44,9 +44,9 @@ def hll_partial(values: np.ndarray, p: int = _P_DEFAULT) -> np.ndarray:
     v = suffix.copy()
     lz = np.zeros(h.size, dtype=np.uint8)
     for s in (32, 16, 8, 4, 2, 1):
-        m = v < (np.uint64(1) << np.uint64(64 - s))
-        lz[m] += s
-        v[m] <<= np.uint64(s)
+        lt = v < (np.uint64(1) << np.uint64(64 - s))
+        lz[lt] += s
+        v[lt] <<= np.uint64(s)
     lz = np.where(suffix == 0, np.uint8(64 - p), np.minimum(lz, 64 - p))
     rank = lz.astype(np.uint8) + 1
     np.maximum.at(regs, idx, rank)

@@ -110,13 +110,12 @@ def adfuller_c(x: np.ndarray, maxlag: int | None = None) -> tuple[float, float, 
         # the ValueError to the reference's p = 1.0 fallback
         raise ValueError("invalid input, x is constant")
     if maxlag is None:
-        # statsmodels measures Schwert's rule on the DIFFERENCED length
-        # (nobs = n - 1), both in the formula and the cap — using n here
-        # flips maxlag (hence potentially usedlag and the p-value) on
-        # boundary lengths like n = 101
-        nobs_diff = n - 1
-        maxlag = int(math.ceil(12.0 * (nobs_diff / 100.0) ** 0.25))
-        maxlag = min(nobs_diff // 2 - 2, maxlag)
+        # statsmodels convention: Schwert's rule on the FULL length n
+        # (maxlag is chosen BEFORE differencing; its "-1 for the diff"
+        # comment refers to the -1 term in the cap n//2 - ntrend - 1,
+        # not to measuring the formula on n-1)
+        maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
+        maxlag = min(n // 2 - 2, maxlag)
     if maxlag < 0 or n < 4:
         raise ValueError("sample size is too short to use selected regression component")
     # AIC selection: all candidate lags fit on the common (shortest) sample

@@ -587,7 +587,11 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
         .map_groups(wrapper, batch_format="pandas")
         .to_pandas()
     )
-    n_over_total = int((pairs_pd["doc_a"] < 0).sum()) if len(pairs_pd) else 0
+    n_over_total = (
+        int(pairs_pd.loc[pairs_pd["doc_a"] < 0, "doc_b"].sum())
+        if len(pairs_pd)
+        else 0
+    )
     if n_over_total:
         logging.getLogger(__name__).warning(
             "minhash_neardup: %d LSH buckets exceeded cap=%d docs and were "
@@ -604,13 +608,18 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
         )
     # hash-join candidate ids back to the text table (two shuffles of the
     # candidate set; the document table streams through the join — the
-    # corpus never lands on the driver)
+    # corpus never lands on the driver). The join repartitions BOTH
+    # sides, so partition count must scale with the corpus, not the
+    # (tiny) pair side: ~50k docs per partition, floor 2.
+    n_join_parts = max(2, docs.count() // 50_000)
     pairs_ds = rd.from_pandas(pairs_pd)
     with_a = pairs_ds.join(
-        docs, "inner", num_partitions=2, on=("doc_a",), right_on=("doc_id",)
+        docs, "inner", num_partitions=n_join_parts,
+        on=("doc_a",), right_on=("doc_id",),
     ).select_columns(["doc_a", "doc_b", "text"]).rename_columns({"text": "text_a"})
     with_b = with_a.join(
-        docs, "inner", num_partitions=2, on=("doc_b",), right_on=("doc_id",)
+        docs, "inner", num_partitions=n_join_parts,
+        on=("doc_b",), right_on=("doc_id",),
     ).select_columns(["doc_a", "doc_b", "text_a", "text"]).rename_columns(
         {"text": "text_b"}
     )
@@ -1397,6 +1406,9 @@ def _langid_sql() -> str:
         f"/greatest(len(ws),1) AS s_{lang}"
         for lang, sw in sorted(_STOPWORDS.items())
     )
+    langs = sorted(_STOPWORDS) + ["zh"]
+    lang_list = "[" + ",".join(f"'{x}'" for x in langs) + "]"
+    score_list = "[" + ",".join(f"s_{x}" for x in langs) + "]"
     return f"""
 WITH w AS (
   SELECT doc_id, text,
@@ -1409,8 +1421,8 @@ WITH w AS (
       /greatest(length(text),1) AS s_zh
   FROM w
 ), u AS (
-  SELECT doc_id, unnest(['de','en','es','fr','it','zh']) AS lang,
-         unnest([s_de,s_en,s_es,s_fr,s_it,s_zh]) AS score FROM sc
+  SELECT doc_id, unnest({lang_list}) AS lang,
+         unnest({score_list}) AS score FROM sc
 ), r AS (
   SELECT doc_id, lang, score,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn

@@ -124,8 +124,10 @@ def _sm_adfuller_c(x):
     n = x.size
     xdiff = np.diff(x)
     nobs_d = xdiff.size
-    maxlag = int(np.ceil(12.0 * (nobs_d / 100.0) ** 0.25))
-    maxlag = min(nobs_d // 2 - 2, maxlag)
+    # statsmodels: nobs = x.shape[0] BEFORE differencing drives both the
+    # Schwert formula and the n//2 - ntrend - 1 cap (ntrend=1 for 'c')
+    maxlag = int(np.ceil(12.0 * (n / 100.0) ** 0.25))
+    maxlag = min(n // 2 - 2, maxlag)
     # lagmat(xdiff, maxlag, 'both', 'in'): rows t = maxlag..nobs_d-1,
     # cols [xdiff_t, xdiff_{t-1}, ..., xdiff_{t-maxlag}]
     nobs = nobs_d - maxlag

@@ -253,25 +253,33 @@ def _brute_word_hash(word: str) -> int:
     return h
 
 
-@given(
-    st.lists(
-        st.text(
-            st.characters(blacklist_categories=("Cs",), blacklist_characters=" \t\n\r\x0b\x0c"),
-            min_size=1,
-            max_size=12,
-        ),
-        min_size=0,
-        max_size=30,
-    )
-)
-@settings(max_examples=200, deadline=None)
-def test_word_hashes_match_bruteforce(words):
+@given(st.text(st.characters(blacklist_categories=("Cs",)), max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_word_hashes_match_regex_tokenization_and_bruteforce(text):
+    """Tokenization must equal re.findall(r'\\S+') — the full Unicode
+    whitespace set, not just ASCII — and each word's hash must equal the
+    per-byte brute force."""
+    import re
+
     from eristropy_ray.datapipe.dedup import word_hashes
 
-    text = " ".join(words)
+    words = re.findall(r"\S+", text)
     got = word_hashes(text)
     want = np.array([_brute_word_hash(w) for w in words], dtype=np.uint64)
     np.testing.assert_array_equal(got, want)
+
+
+def test_nbsp_near_dup_still_matches():
+    """A pair differing only in NBSP/ideographic-space vs ASCII space
+    tokenizes identically (the regression the byte-level splitter almost
+    introduced)."""
+    from eristropy_ray.datapipe.dedup import jaccard, simhash64
+
+    a = "the quick brown fox jumps over the lazy dog tonight again"
+    b = a.replace(" ", "\u00a0", 3).replace(" ", "\u3000", 2)
+    assert b != a
+    assert jaccard(a, b) == 1.0
+    assert simhash64(a) == simhash64(b)
 
 
 @given(st.text(max_size=200), st.integers(min_value=1, max_value=7))
