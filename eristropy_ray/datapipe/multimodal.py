@@ -92,3 +92,64 @@ class BinaryFeatureStage:
         cols["n_bytes"] = pa.array(sizes, pa.int64())
         cols["embedding"] = pa.array(list(embs), pa.list_(pa.float64()))
         return pa.table(cols)
+
+
+class FrameSampleStage:
+    """Actor-pool 1->N frame-sampling stage for video-ish payloads.
+
+    Emits one row per (item, frame_idx): evenly spaced frames, the
+    standard pre-processing shape for video training data. The actual
+    decoder is STUBBED (``decoder="real"`` raises — no media libraries
+    in this container); ``decoder="fake"`` slices deterministic
+    fixed-size byte windows out of the payload so the 1->N explode, the
+    binary frame column, and downstream batch sizing are all exercised
+    for real.
+
+    Usage:
+        ds.map_batches(FrameSampleStage(n_frames=4),
+                       batch_format="pyarrow", batch_size=64,
+                       concurrency=8, num_cpus=1)
+    """
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        n_frames: int = 4,
+        frame_bytes: int = 64,
+        decoder: str = "fake",
+    ) -> None:
+        if decoder not in ("fake", "real"):
+            raise ValueError("decoder must be 'fake' or 'real'")
+        self.payload_col = payload_col
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "video decoding requires media libraries not present in "
+                "this environment; use decoder='fake' for the deterministic "
+                "byte-window stand-in"
+            )
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        keep = [c for c in batch.column_names if c != self.payload_col]
+        frames: list[bytes] = []
+        for p in payloads:
+            p = p or b""
+            # evenly spaced offsets over the payload (floor, stable)
+            for f in range(self.n_frames):
+                off = (len(p) * f) // max(self.n_frames, 1)
+                frames.append(p[off : off + self.frame_bytes])
+        cols = {
+            name: batch[name].take(
+                pa.array(np.repeat(np.arange(n), self.n_frames))
+            )
+            for name in keep
+        }
+        cols["frame_idx"] = pa.array(
+            np.tile(np.arange(self.n_frames, dtype=np.int64), n), pa.int64()
+        )
+        cols["frame"] = pa.array(frames, pa.binary())
+        return pa.table(cols)

@@ -955,6 +955,63 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
+                     slide_us: int = 900_000_000):
+    """Hopping (sliding) window aggregate: 1h windows advancing every
+    15m per user. Each event explodes to its span/slide windows inside
+    ``map_batches`` (vectorized repeat), exact integer-micro partials
+    combine per batch, and one small groupby finishes — the shuffle
+    moves per-(user, window) partials, never the exploded rows."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    n_hops = span_us // slide_us
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ts - ts % slide_us
+        k = np.arange(n_hops, dtype=np.int64) * slide_us
+        starts = (base[:, None] - k[None, :]).reshape(-1)
+        df = pd.DataFrame(
+            {
+                "signal_id": np.repeat(uid, n_hops),
+                "window_start_us": starts,
+                "vmu": np.repeat(np.round(v * 1e6).astype(np.int64), n_hops),
+                "one": np.ones(starts.size, dtype=np.int64),
+            }
+        )
+        g = df.groupby(["signal_id", "window_start_us"], sort=False).agg(
+            n_obs=("one", "sum"), sum_mu=("vmu", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["signal_id", "window_start_us"])
+        .aggregate(
+            Sum("n_obs", alias_name="n_obs"),
+            Sum("sum_mu", alias_name="sum_mu"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        sum_mu = b["sum_mu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "signal_id": pc.cast(b["signal_id"], pa.int64()),
+                "window_start_us": b["window_start_us"],
+                "n_obs": pc.cast(b["n_obs"], pa.int64()),
+                "value_sum": pa.array(
+                    sum_mu.astype(np.float64) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distributed COUNT(DISTINCT user_id) per event_type: per-batch
     pair dedup (combiner), one groupby to finish the dedup, then a count —
@@ -1364,6 +1421,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
+    "hopping_window": q_hopping_window,
     "distinct_users": q_distinct_users,
     "distinct_users_approx": q_distinct_users_approx,
     "sample_events": q_sample_events,
@@ -1487,6 +1545,19 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
     "distinct_users": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""",
+    "hopping_window": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+w AS (
+  SELECT user_id, value,
+         (ts_us // 900000000) * 900000000
+           - CAST(k.i AS BIGINT) * 900000000 AS win_start
+  FROM e, (VALUES (0),(1),(2),(3)) k(i)
+)
+SELECT user_id AS signal_id, win_start AS window_start_us,
+       COUNT(*) AS n_obs,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM w GROUP BY 1, 2
 """,
     "signal_counts": """
 SELECT user_id, COUNT(*) AS n_obs, MIN(value) AS value_min, MAX(value) AS value_max

@@ -346,3 +346,34 @@ def test_distinct_users_approx_close_to_exact(ray_session):
     for et in exact.index:
         rel = abs(approx[et] - exact[et]) / max(exact[et], 1)
         assert rel < 0.05, (et, approx[et], exact[et])
+
+
+def test_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    from eristropy_ray.datapipe.multimodal import FrameSampleStage
+
+    payloads = [bytes(range(256)), b"tiny", b""]
+    t = pa.table(
+        {"item_id": pa.array([1, 2, 3], pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            FrameSampleStage(n_frames=4, frame_bytes=16),
+            batch_format="pyarrow", batch_size=2, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["item_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 12  # 1 -> n_frames explode
+    assert list(out["frame_idx"][:4]) == [0, 1, 2, 3]
+    # evenly spaced byte windows of item 1
+    assert out["frame"][0] == bytes(range(16))
+    assert out["frame"][1] == bytes(range(64, 80))
+    # degenerate payloads still emit n_frames rows
+    assert all(f == b"" for f in out[out["item_id"] == 3]["frame"])
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(decoder="real")(t)
