@@ -955,6 +955,48 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
+    """End-to-end corpus cleaning composition — the pipeline shape a
+    training-data user actually runs: length/quality filter -> exact
+    dedup (content-hash groupby, keep min doc_id) -> English-only
+    (langid) -> token counts. One streaming pass plus one dedup shuffle
+    of (hash, id, tokens) triples; binary-exact vs a composed SQL twin."""
+    from eristropy_ray.datapipe.textstats import langid_predict
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score_filter(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df["text"].str.len()
+        punct = df["text"].str.count(r"[.!?,;:]")
+        keep = (n_chars >= min_chars) & (punct / n_chars < max_punct)
+        sub = df[keep]
+        langs = [langid_predict(t) for t in sub["text"]]
+        sub = sub[np.asarray(langs) == "en"] if len(sub) else sub
+        return pd.DataFrame(
+            {
+                "h": [
+                    hashlib.sha1(t.encode("utf-8")).hexdigest()
+                    for t in sub["text"]
+                ],
+                "doc_id": sub["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": sub["text"]
+                .str.findall(r"\S+")
+                .str.len()
+                .astype("int64"),
+            }
+        )
+
+    deduped = (
+        ds.map_batches(score_filter, batch_format="pandas")
+        .groupby("h")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_tokens", alias_name="n_tokens"),  # same text -> same count
+        )
+    )
+    return deduped.select_columns(["doc_id", "n_tokens"])
+
+
 def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
                      slide_us: int = 900_000_000):
     """Hopping (sliding) window aggregate: 1h windows advancing every
@@ -1421,6 +1463,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
+    "clean_corpus": q_clean_corpus,
     "hopping_window": q_hopping_window,
     "distinct_users": q_distinct_users,
     "distinct_users_approx": q_distinct_users_approx,
@@ -1517,7 +1560,27 @@ GROUP BY grid.conv_id, grid.tier, grid.idx // 4096
 """
 
 
+def _clean_corpus_sql() -> str:
+    """Composed twin of q_clean_corpus: the langid oracle as a CTE, then
+    the same quality filter, dedup-by-text and token count."""
+    return f"""
+WITH lang AS ({_langid_sql()}),
+scored AS (
+  SELECT d.doc_id, d.text,
+         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN lang ON d.doc_id = lang.doc_id
+  WHERE length(d.text) >= 100
+    AND CAST(length(regexp_extract_all(d.text, '[.!?,;:]')) AS DOUBLE)
+        / length(d.text) < 0.1
+    AND lang.lang_pred = 'en'
+)
+SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+FROM scored GROUP BY text
+"""
+
+
 ORACLE_SQL = {
+    "clean_corpus": _clean_corpus_sql(),
     "langid": _langid_sql(),
     "tier_blocks": _TIER_BLOCKS_SQL,
     "ngram_jaccard": """
