@@ -205,8 +205,16 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id", "n_dupes"])
 
 
+# GPT-2-style pre-tokenizer, simplified to be lookahead-free so the same
+# pattern runs identically under Python re and DuckDB's RE2:
+# contractions | space?letter-run | space?digit-run | space?punct-run
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
 def q_token_counts(sf_dir: str):
-    """Whitespace token counting (text-analysis op)."""
+    """Token counting (text-analysis op): whitespace tokens plus a
+    BPE-ish pre-tokenizer count (compiled once per worker via the pandas
+    str engine; the regex is RE2-compatible so the SQL twin is exact)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -214,6 +222,10 @@ def q_token_counts(sf_dir: str):
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": df["text"].str.findall(r"\S+").str.len().astype("int64"),
+                "n_bpe_tokens": df["text"]
+                .str.findall(_BPE_PAT)
+                .str.len()
+                .astype("int64"),
             }
         )
 
@@ -1661,7 +1673,11 @@ SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes FROM documents GROUP BY text
 """,
     "token_counts": """
-SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+         AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
     "quality_scores": """
