@@ -1067,21 +1067,39 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
 
 
 def q_distinct_users(sf_dir: str):
-    """Exact distributed COUNT(DISTINCT user_id) per event_type: per-batch
-    pair dedup (combiner), one groupby to finish the dedup, then a count —
-    the shuffle moves unique pairs, never raw rows."""
+    """Exact distributed COUNT(DISTINCT user_id) per event_type.
+
+    One real shuffle: per-batch pair dedup (combiner), hash-partition by
+    user (int key — all of a user's (type, user) pairs co-locate, so the
+    partition-local dedup is globally exact), per-partition counts, then
+    a P x n_types-row summing groupby. Avoids sorting the full pair set
+    on a string key twice."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["event_type", "user_id"])
+        sub = df.drop_duplicates(["event_type", "user_id"]).copy()
+        uid = sub["user_id"].to_numpy().astype(np.int64)
+        sub["part"] = ((uid * 2654435761 % (2**31 - 1)) % _NPARTS).astype("int64")
+        return sub[["event_type", "user_id", "part"]]
 
-    uniq = (
+    def count_partition(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["event_type", "user_id"])
+        g = u.groupby("event_type", sort=True).size().reset_index(name="n_partial")
+        g["n_partial"] = g["n_partial"].astype("int64")
+        return g
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return count_partition(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "count_partition"
+    partials = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "user_id"])
-        .count()
-        .select_columns(["event_type"])
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
     )
-    return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return partials.groupby("event_type").aggregate(
+        Sum("n_partial", alias_name="n_users")
+    )
 
 
 def q_distinct_users_approx(sf_dir: str, p: int = 12):
