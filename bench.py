@@ -112,6 +112,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_neardup",
         "orders_by_segment",
         "transcript_rollup",
+        "clean_corpus",
     ]
     timings = {}
     for name in names:
