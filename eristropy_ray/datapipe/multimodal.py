@@ -142,12 +142,8 @@ class FrameSampleStage:
             for f in range(self.n_frames):
                 off = (len(p) * f) // max(self.n_frames, 1)
                 frames.append(p[off : off + self.frame_bytes])
-        cols = {
-            name: batch[name].take(
-                pa.array(np.repeat(np.arange(n), self.n_frames))
-            )
-            for name in keep
-        }
+        idx = pa.array(np.repeat(np.arange(n), self.n_frames))
+        cols = {name: batch[name].take(idx) for name in keep}
         cols["frame_idx"] = pa.array(
             np.tile(np.arange(self.n_frames, dtype=np.int64), n), pa.int64()
         )

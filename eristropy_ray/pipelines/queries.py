@@ -33,6 +33,12 @@ from eristropy_ray.stages.signals import (
 
 _NPARTS = 32  # hash buckets for grouped signal ops (2×CPU at test scale)
 
+
+def _hash_part(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash -> partition id. ONE definition for every
+    co-location argument in this module ("same key -> same part")."""
+    return (np.asarray(ids, dtype=np.int64) * 2654435761 % (2**31 - 1)) % _NPARTS
+
 US_1H = 3_600_000_000
 US_1D = 86_400_000_000
 
@@ -45,7 +51,7 @@ def _events_signals(sf_dir: str) -> rd.Dataset:
 
     def project(b: pa.Table) -> pa.Table:
         sid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = (sid * 2654435761 % (2**31 - 1)) % _NPARTS
+        part = _hash_part(sid)
         return pa.table(
             {
                 "signal_id": pa.array(sid, pa.int64()),
@@ -205,10 +211,11 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id", "n_dupes"])
 
 
-# GPT-2-style pre-tokenizer, simplified to be lookahead-free so the same
-# pattern runs identically under Python re and DuckDB's RE2:
+# GPT-2-style pre-tokenizer, simplified to be lookahead-free and written
+# with EXPLICIT ASCII whitespace classes (Python's \s is Unicode-aware,
+# RE2's is not — explicit classes make both engines match identically):
 # contractions | space?letter-run | space?digit-run | space?punct-run
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r']+"
 
 
 def q_token_counts(sf_dir: str):
@@ -221,7 +228,10 @@ def q_token_counts(sf_dir: str):
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "n_tokens": df["text"].str.findall(r"\S+").str.len().astype("int64"),
+                "n_tokens": df["text"]
+                .str.findall(r"[^ \t\n\f\r]+")
+                .str.len()
+                .astype("int64"),
                 "n_bpe_tokens": df["text"]
                 .str.findall(_BPE_PAT)
                 .str.len()
@@ -313,7 +323,7 @@ def q_adf_stationarity(sf_dir: str):
 
     def rekey(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["part"] = (df["signal_id"].to_numpy() * 2654435761 % (2**31 - 1)) % _NPARTS
+        df["part"] = _hash_part(df["signal_id"].to_numpy())
         df["tie"] = 0
         return df
 
@@ -992,7 +1002,7 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
                 ],
                 "doc_id": sub["doc_id"].to_numpy(dtype=np.int64),
                 "n_tokens": sub["text"]
-                .str.findall(r"\S+")
+                .str.findall(r"[^ \t\n\f\r]+")
                 .str.len()
                 .astype("int64"),
             }
@@ -1019,7 +1029,7 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
-    n_hops = span_us // slide_us
+    n_hops = -(-span_us // slide_us)  # ceil: span need not divide slide
 
     def partial(b: pa.Table) -> pa.Table:
         ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1027,17 +1037,18 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
         uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         base = ts - ts % slide_us
         k = np.arange(n_hops, dtype=np.int64) * slide_us
-        starts = (base[:, None] - k[None, :]).reshape(-1)
+        starts = base[:, None] - k[None, :]
+        # membership: start <= ts (by construction) AND ts < start + span
+        keep = (ts[:, None] < starts + span_us).reshape(-1)
         df = pd.DataFrame(
             {
-                "signal_id": np.repeat(uid, n_hops),
-                "window_start_us": starts,
-                "vmu": np.repeat(np.round(v * 1e6).astype(np.int64), n_hops),
-                "one": np.ones(starts.size, dtype=np.int64),
+                "signal_id": np.repeat(uid, n_hops)[keep],
+                "window_start_us": starts.reshape(-1)[keep],
+                "vmu": np.repeat(np.round(v * 1e6).astype(np.int64), n_hops)[keep],
             }
         )
         g = df.groupby(["signal_id", "window_start_us"], sort=False).agg(
-            n_obs=("one", "sum"), sum_mu=("vmu", "sum")
+            n_obs=("vmu", "size"), sum_mu=("vmu", "sum")
         )
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
@@ -1079,7 +1090,7 @@ def q_distinct_users(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.drop_duplicates(["event_type", "user_id"]).copy()
         uid = sub["user_id"].to_numpy().astype(np.int64)
-        sub["part"] = ((uid * 2654435761 % (2**31 - 1)) % _NPARTS).astype("int64")
+        sub["part"] = _hash_part(uid)
         return sub[["event_type", "user_id", "part"]]
 
     def count_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -1321,7 +1332,7 @@ def q_asof_purchase_click(sf_dir: str):
 
     def to_typed(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = (uid * 2654435761 % (2**31 - 1)) % _NPARTS
+        part = _hash_part(uid)
         return pa.table(
             {
                 "user_id": pa.array(uid, pa.int64()),
@@ -1388,7 +1399,7 @@ def q_clicks_before_purchase(sf_dir: str):
 
     def to_typed(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = (uid * 2654435761 % (2**31 - 1)) % _NPARTS
+        part = _hash_part(uid)
         return pa.table(
             {
                 "user_id": pa.array(uid, pa.int64()),
@@ -1597,7 +1608,7 @@ def _clean_corpus_sql() -> str:
 WITH lang AS ({_langid_sql()}),
 scored AS (
   SELECT d.doc_id, d.text,
-         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\f\\r]+')) AS BIGINT) AS n_tokens
   FROM documents d JOIN lang ON d.doc_id = lang.doc_id
   WHERE length(d.text) >= 100
     AND CAST(length(regexp_extract_all(d.text, '[.!?,;:]')) AS DOUBLE)
@@ -1643,7 +1654,7 @@ FROM events GROUP BY event_type
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
 w AS (
   SELECT user_id, value,
-         (ts_us // 900000000) * 900000000
+         ts_us - ((ts_us % 900000000 + 900000000) % 900000000)
            - CAST(k.i AS BIGINT) * 900000000 AS win_start
   FROM e, (VALUES (0),(1),(2),(3)) k(i)
 )
@@ -1692,9 +1703,9 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes FROM documents GROUP BY text
 """,
     "token_counts": """
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text,
-         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r'']+'))
          AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,

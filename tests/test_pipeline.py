@@ -282,3 +282,63 @@ def test_resume_after_partial_failure_does_not_duplicate(ray_session, tmp_path):
     assert s2["shards_skipped"] == 0 and s2["rows"] == s1["rows"]
     rows_after = rd.read_parquet(str(out / "rollup")).count()
     assert rows_after == rows_before  # would be 2x without the cleanup
+
+
+def test_hopping_window_non_divisible_span(ray_session, tmp_path):
+    """span not a multiple of slide: every window containing an event
+    must be counted (ceil hops + membership filter), pinned against a
+    brute-force per-window scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import q_hopping_window
+
+    rng = np.random.default_rng(9)
+    n = 400
+    ts = np.sort(rng.integers(0, 20_000, size=n)).astype(np.int64) * 1_000_000
+    uid = rng.integers(0, 3, size=n).astype(np.int64)
+    val = rng.normal(size=n).round(3)
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(np.arange(n), pa.int64()),
+             "user_id": pa.array(uid, pa.int64()),
+             "ts": pa.array(ts, pa.timestamp("us")),
+             "value": pa.array(val, pa.float64()),
+             "event_type": pa.array(["click"] * n, pa.string())}
+        ),
+        tmp_path / "events.parquet",
+    )
+    span, slide = 3_500_000_000, 1_400_000_000  # non-divisible: ceil=3
+    out = (
+        q_hopping_window(str(tmp_path), span_us=span, slide_us=slide)
+        .to_pandas()
+        .sort_values(["signal_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    rows = {"signal_id": [], "window_start_us": [], "n_obs": [], "value_sum": []}
+    for u in np.unique(uid):
+        t_u = ts[uid == u]
+        v_u = val[uid == u]
+        starts = np.unique(
+            np.array(
+                [t - t % slide - k * slide for t in t_u for k in range(3)],
+                dtype=np.int64,
+            )
+        )
+        for s in starts:
+            m = (t_u >= s) & (t_u < s + span)
+            if m.any():
+                rows["signal_id"].append(int(u))
+                rows["window_start_us"].append(int(s))
+                rows["n_obs"].append(int(m.sum()))
+                rows["value_sum"].append(
+                    float(np.round(v_u[m] * 1e6).astype(np.int64).sum() / 1e6)
+                )
+    exp = (
+        pd.DataFrame(rows)
+        .astype({"signal_id": "int64", "window_start_us": "int64",
+                 "n_obs": "int64", "value_sum": "float64"})
+        .sort_values(["signal_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
