@@ -1077,6 +1077,98 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_streaming_window(
+    sf_dir: str,
+    step_us: int = US_1H,
+    lateness_us: int = 1_800_000_000,
+    delay_shift: int = 40,
+):
+    """Streaming tumbling windows with a per-key WATERMARK and an
+    allowed-lateness drop policy — the streaming-window operator.
+
+    Events are processed in ARRIVAL order; the watermark per key is the
+    running max event-time of prior arrivals minus ``lateness_us``; an
+    arrival whose event-time is below the watermark is dropped as late
+    (counted per window), everything else aggregates into its tumbling
+    window. The synthetic feed is perfectly time-ordered, so a
+    deterministic delayed-arrival permutation (every 16th event arrives
+    ``delay_shift`` positions late — mirrored exactly in the SQL twin)
+    exercises the late path for real: at sf0.01, 131 events arrive out
+    of order, 105 fall below the watermark and are dropped, 26 are
+    accepted within lateness.
+
+    Scale shape = sessionization's: one hash shuffle by key, then one
+    stateful vectorized pass per partition (pandas C-level segmented
+    cummax for the watermark), partial aggregation before emit.
+    """
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def to_typed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arrival = eid + np.where(eid % 16 == 5, delay_shift, 0)
+        return pa.table(
+            {
+                "signal_id": pa.array(uid, pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "vmu": pa.array(
+                    np.round(
+                        b["value"].to_numpy(zero_copy_only=False) * 1e6
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "arrival": pa.array(arrival, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "part": pa.array(_hash_part(uid), pa.int64()),
+            }
+        )
+
+    def window_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["signal_id", "arrival", "event_id"], kind="stable"
+        ).reset_index(drop=True)
+        g = df.groupby("signal_id", sort=False)
+        # watermark at each arrival: cummax of PRIOR arrivals' event time
+        prev_max = g["ts_us"].cummax().groupby(df["signal_id"]).shift(1)
+        late = df["ts_us"] < prev_max - lateness_us  # NaN -> False (first)
+        win = df["ts_us"] - df["ts_us"] % step_us
+        out = (
+            pd.DataFrame(
+                {
+                    "signal_id": df["signal_id"],
+                    "window_start_us": win,
+                    "n_obs": (~late).astype("int64"),
+                    "sum_mu": df["vmu"].where(~late, 0),
+                    "n_late": late.astype("int64"),
+                }
+            )
+            .groupby(["signal_id", "window_start_us"], sort=True)
+            .agg(
+                n_obs=("n_obs", "sum"),
+                sum_mu=("sum_mu", "sum"),
+                n_late=("n_late", "sum"),
+            )
+            .reset_index()
+        )
+        out["value_sum"] = out["sum_mu"].astype(np.float64) / 1e6
+        return out[
+            ["signal_id", "window_start_us", "n_obs", "value_sum", "n_late"]
+        ].astype(
+            {"signal_id": "int64", "window_start_us": "int64",
+             "n_obs": "int64", "value_sum": "float64", "n_late": "int64"}
+        )
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return window_partition(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "streaming_window_partition"
+    typed = events.map_batches(to_typed, batch_format="pyarrow")
+    return typed.groupby("part").map_groups(wrapper, batch_format="pandas")
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distributed COUNT(DISTINCT user_id) per event_type.
 
@@ -1506,6 +1598,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "clean_corpus": q_clean_corpus,
     "hopping_window": q_hopping_window,
+    "streaming_window": q_streaming_window,
     "distinct_users": q_distinct_users,
     "distinct_users_approx": q_distinct_users_approx,
     "sample_events": q_sample_events,
@@ -1649,6 +1742,29 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
     "distinct_users": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""",
+    "streaming_window": """
+WITH a AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY event_id + CASE WHEN event_id % 16 = 5 THEN 40 ELSE 0 END,
+                    event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+), b AS (
+  SELECT user_id, ts_us, value,
+         (wm IS NOT NULL AND ts_us < wm - 1800000000) AS late,
+         ts_us - ((ts_us % 3600000000 + 3600000000) % 3600000000) AS win
+  FROM a
+)
+SELECT user_id AS signal_id, win AS window_start_us,
+       CAST(COALESCE(SUM(CASE WHEN NOT late THEN 1 END), 0) AS BIGINT) AS n_obs,
+       CAST(COALESCE(SUM(CASE WHEN NOT late
+                          THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE)
+         AS value_sum,
+       CAST(COALESCE(SUM(CASE WHEN late THEN 1 END), 0) AS BIGINT) AS n_late
+FROM b GROUP BY 1, 2
 """,
     "hopping_window": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),

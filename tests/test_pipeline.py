@@ -342,3 +342,17 @@ def test_hopping_window_non_divisible_span(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_streaming_window_late_path_fires(ray_session):
+    """The watermark must actually drop late arrivals on the fixture
+    (105 of 131 out-of-order events at sf0.01) and keep totals
+    consistent: kept + late == all events."""
+    from eristropy_ray.pipelines.queries import q_streaming_window
+
+    out = q_streaming_window("/root/testdata/sf0.01").to_pandas()
+    assert int(out["n_late"].sum()) == 105
+    assert int(out["n_obs"].sum()) + int(out["n_late"].sum()) == 10_000
+    # a window that lost events to lateness still reports its survivors
+    lossy = out[out["n_late"] > 0]
+    assert len(lossy) > 0
