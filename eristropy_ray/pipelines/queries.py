@@ -182,14 +182,19 @@ def _bucket_rollup(sf_dir: str, step_us: int):
 
 
 def q_rollup_1h(sf_dir: str):
+    """1h tumbling-bucket rollup (count/min/max/sum/mean) via the
+    partial-agg pattern: exact integer-micro sums per batch, then a
+    small groupby — binary-exact vs the DECIMAL-sum SQL twin."""
     return _bucket_rollup(sf_dir, US_1H)
 
 
 def q_rollup_1d(sf_dir: str):
+    """1d tumbling-bucket rollup; same partial-agg pattern as 1h."""
     return _bucket_rollup(sf_dir, US_1D)
 
 
 def q_doc_counts_by_lang(sf_dir: str):
+    """Document counts per language label (single pruned-column groupby)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
