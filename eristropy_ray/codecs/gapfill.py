@@ -30,9 +30,10 @@ def gapfill_series(
 
     Returns:
         grid: int64 dense bucket starts, ``arange(min, max+step, step)``.
-        filled: float64 values with gaps linearly interpolated (NaN where
-            no finite anchors exist on one side — edges never extrapolate
-            beyond observed range because grid is clipped to it).
+        filled: float64 values with gaps linearly interpolated STRICTLY
+            inside the finite-anchor range; grid points outside it (incl.
+            everything when fewer than two finite anchors exist) stay
+            NaN — edges never extrapolate or constant-hold.
         was_observed: bool mask, True where the bucket was in the input.
     """
     b = np.ascontiguousarray(buckets, dtype=np.int64)
@@ -41,16 +42,27 @@ def gapfill_series(
         return b, v, np.zeros(0, dtype=bool)
     grid = np.arange(b[0], b[-1] + step, step, dtype=np.int64)
     observed = np.isin(grid, b)
+    filled = fill_missing(grid, observed, b, v)
+    return grid, filled, observed
+
+
+def fill_missing(
+    grid: np.ndarray, observed: np.ndarray, b: np.ndarray, v: np.ndarray
+) -> np.ndarray:
+    """Filled values for a dense grid: linear interpolation strictly
+    inside the finite-anchor range, NaN outside it (no extrapolation,
+    no constant-hold). ONE implementation shared by ``gapfill_series``
+    and the block encoder (stages/encode.py) so the two can never
+    diverge bit-wise."""
     filled = np.full(grid.size, np.nan)
     filled[observed] = v
     finite = np.isfinite(v)
-    if finite.sum() >= 2:
-        missing = ~observed
-        filled[missing] = np.interp(
-            grid[missing].astype(np.float64),
-            b[finite].astype(np.float64),
+    if int(finite.sum()) >= 2:
+        bf = b[finite]
+        inside = ~observed & (grid >= bf[0]) & (grid <= bf[-1])
+        filled[inside] = np.interp(
+            grid[inside].astype(np.float64),
+            bf.astype(np.float64),
             v[finite],
         )
-    elif finite.sum() == 1:
-        filled[~observed] = v[finite][0]
-    return grid, filled, observed
+    return filled

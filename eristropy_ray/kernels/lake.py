@@ -157,7 +157,10 @@ def counting_objective(x: np.ndarray, m: int, r: float) -> float:
     if cp == 1:
         b = 0.0
     else:
-        b = a / (-math.log(cp))
+        # reference expression order (extras.py:203-206): reciprocal
+        # first, then multiply — a/(-log cp) differs in the last ulp
+        sampen_val = -math.log(cp)
+        b = a * (1.0 / sampen_val)
     return max(a, b)
 
 

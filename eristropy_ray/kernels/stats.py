@@ -39,5 +39,5 @@ def zscore(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     sd = x.std(ddof=1) if x.size > 1 else 0.0
     if sd == 0.0:
-        return np.full_like(x, np.nan) if x.size > 1 else np.zeros_like(x) * np.nan
+        return np.full_like(x, np.nan)
     return (x - x.mean()) / sd

@@ -33,6 +33,7 @@ import pandas as pd
 import pyarrow as pa
 
 from eristropy_ray.codecs.dod import dod_encode
+from eristropy_ray.codecs.gapfill import fill_missing
 from eristropy_ray.codecs.gorilla import gorilla_encode
 from eristropy_ray.config import TIER_STEPS_US, EncodeConfig
 
@@ -95,22 +96,10 @@ def make_partition_encode_fn(cfg: EncodeConfig):
                     pos = (buckets - buckets[0]) // step
                     observed = np.zeros(grid.size, dtype=bool)
                     observed[pos] = True
-                    filled_cols = {}
-                    for col, v in cols.items():
-                        filled = np.full(grid.size, np.nan)
-                        filled[pos] = v
-                        finite = np.isfinite(v)
-                        nfin = int(finite.sum())
-                        if nfin >= 2:
-                            miss = ~observed
-                            filled[miss] = np.interp(
-                                grid[miss].astype(np.float64),
-                                buckets[finite].astype(np.float64),
-                                v[finite],
-                            )
-                        elif nfin == 1:
-                            filled[~observed] = v[finite][0]
-                        filled_cols[col] = filled
+                    filled_cols = {
+                        col: fill_missing(grid, observed, buckets, v)
+                        for col, v in cols.items()
+                    }
                     buckets, cols = grid, filled_cols
 
             npts = buckets.size

@@ -34,7 +34,14 @@ from eristropy_ray.kernels.sampen import sampen
 
 
 def _sorted_groups(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
-    """(sorted df, group start indices, group codes) by (signal_id, ts_us, tie)."""
+    """(sorted df, group start indices, group codes) by (signal_id, ts_us, tie).
+
+    Null signal_ids are DROPPED first (the reference's pandas groupby
+    default, dropna=True): factorize codes them all as -1, which would
+    otherwise merge unrelated null-id rows into one synthetic group and
+    fabricate cross-signal results."""
+    if df["signal_id"].isna().any():
+        df = df[df["signal_id"].notna()]
     codes, _ = pd.factorize(df["signal_id"], sort=False)
     tie = df["tie"].to_numpy() if "tie" in df.columns else np.zeros(len(df))
     order = np.lexsort((tie, df["ts_us"].to_numpy(), codes))

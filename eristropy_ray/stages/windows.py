@@ -156,7 +156,15 @@ def rollup_windows(
 ) -> dict[str, np.ndarray]:
     """All-tier rollup rows (dict of columns per ROLLUP_COLUMNS) for the
     given turns. Input order is irrelevant; output is ordered by
-    (tier, conv, bucket)."""
+    (tier, conv, bucket). Null conv_ids are dropped (groupby dropna
+    semantics — factorize's -1 code would merge them into one synthetic
+    conversation)."""
+    valid = pd.notna(conv_id)
+    if not valid.all():
+        conv_id = conv_id[valid]
+        turn_idx = np.asarray(turn_idx)[valid]
+        ts_us = np.asarray(ts_us)[valid]
+        value = np.asarray(value)[valid]
     codes, uniques = pd.factorize(conv_id, sort=False)
     codes = np.ascontiguousarray(codes, dtype=np.int64)
     ts_us = np.ascontiguousarray(ts_us, dtype=np.int64)

@@ -103,3 +103,22 @@ def test_gapfill_trivial_cases():
     g, f, o = gapfill_series(np.array([100], dtype=np.int64), np.array([7.0]), 60)
     np.testing.assert_array_equal(g, [100])
     np.testing.assert_array_equal(f, [7.0])
+
+
+def test_gapfill_never_extrapolates_past_finite_anchors():
+    """Missing buckets OUTSIDE the finite-anchor range stay NaN — no
+    clamped constant-hold at the edges (the reference groupby analogue
+    would emit nothing there, and a Gorilla block must not persist
+    fabricated values)."""
+    buckets = np.array([0, 120, 180], dtype=np.int64)
+    values = np.array([np.nan, 5.0, 7.0])
+    grid, filled, observed = gapfill_series(buckets, values, 60)
+    np.testing.assert_array_equal(grid, [0, 60, 120, 180])
+    assert np.isnan(filled[0])  # observed NaN preserved
+    assert np.isnan(filled[1])  # missing, left of first finite anchor
+    assert filled[2] == 5.0 and filled[3] == 7.0
+    # single finite anchor: nothing to interpolate, no constant-hold
+    g2, f2, _ = gapfill_series(
+        np.array([0, 120], dtype=np.int64), np.array([np.nan, 9.0]), 60
+    )
+    assert np.isnan(f2[1]) and f2[2] == 9.0

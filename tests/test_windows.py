@@ -140,3 +140,36 @@ def test_empty_input():
         np.empty(0, dtype=object), np.empty(0), np.empty(0), np.empty(0), cfg
     )
     assert all(len(v) == 0 for v in out.values())
+
+
+def test_null_ids_are_dropped_not_merged():
+    """groupby dropna semantics: null conv/signal ids must be dropped,
+    never factorized into one synthetic -1 group."""
+    import pandas as pd
+
+    from eristropy_ray.config import RollupConfig
+    from eristropy_ray.stages.signals import difference_partition
+    from eristropy_ray.stages.windows import rollup_windows
+
+    df = pd.DataFrame(
+        {
+            "signal_id": pd.array([1, None, 1, None], dtype="Int64"),
+            "ts_us": np.array([1, 2, 3, 4], dtype=np.int64),
+            "value": [1.0, 10.0, 2.0, 20.0],
+            "tie": [0, 0, 0, 0],
+        }
+    )
+    out = difference_partition(df)
+    # only signal 1's second row survives; no fabricated 10->20 diff
+    assert len(out) == 1
+    assert float(out["value"].iloc[0]) == 1.0
+
+    cols = rollup_windows(
+        np.array(["a", None, "a", None], dtype=object),
+        np.array([0, 0, 1, 1], dtype=np.int64),
+        np.array([0, 0, 1_000_000, 1_000_000], dtype=np.int64),
+        np.array([1.0, 10.0, 2.0, 20.0]),
+        RollupConfig(),
+    )
+    assert set(cols["conv_id"]) == {"a"}
+    assert all(n == 2 for n in cols["n_turns"])
