@@ -5,9 +5,11 @@ over a long-format signal Dataset (signal_id, ts_us, value[, tie]):
 
 - ``compute_all_sampen`` ≈ ``SampleEntropy.compute_all_sampen``
   (sample_entropy.py:346-402): optional TPE optimization of (m, r, p)
-  (sequential trials on the driver — TPE conditions on history — with the
-  per-signal objective fanned out across partitions per trial), then
-  per-signal SampEn (± bootstrap SE).
+  with sequential trials on the driver over the GATHERED signal table
+  (TPE conditions on history, like the reference's optuna loop; see the
+  honest scale note on ``_collect_signals`` — optimize on a bounded
+  sample at corpus scale), then per-signal SampEn (± bootstrap SE),
+  which IS distributed.
 - ``sampen_efficiency`` ≈ ``SampEnEfficiency.compute_all_sampen``
   (extras.py:227-274): (signal × r-grid) fan-out of the Lake efficiency
   score (each partition hoists its signals once — the reference re-extracts
@@ -105,9 +107,14 @@ class SampEnConfig:
 def _collect_signals(signals: rd.Dataset | pd.DataFrame) -> list[tuple[object, np.ndarray]]:
     """Driver-side (signal_id, ordered values) list.
 
-    Objective evaluation is distributed per trial when the signal set is a
-    Dataset of real size; at fixture scale the gathered arrays drive the
-    sequential-trial loop directly (same results by counter-based seeding).
+    HONEST SCALE NOTE: the TPE study is driver-held by design (like the
+    reference's optuna loop — each trial's parameters depend on all prior
+    trials), and this helper gathers the FULL signal table onto the
+    driver, so optimization is bounded by driver memory. At corpus scale
+    the supported pattern is optimizing on a bounded signal sample and
+    applying the resulting (m*, r*, p*) to the full table via the
+    distributed ``compute_all_sampen`` path — the per-signal SampEn/SE
+    computation itself never gathers.
     """
     if isinstance(signals, rd.Dataset):
         df = signals.to_pandas()
@@ -251,6 +258,12 @@ def sampen_efficiency(
     series hoisted once; only (signal_id, r_index, score) scalars travel.
     """
     from eristropy_ray.kernels.lake import bootstrap_objective, counting_objective
+
+    if isinstance(signals, rd.Dataset):
+        # one materialization: the score and final passes below would
+        # otherwise re-execute the entire upstream lineage (e.g. the
+        # stationarity pipeline) and re-shuffle the same rows twice
+        signals = signals.materialize()
 
     rs = np.arange(r_range[0], r_range[1] + interpolation_step_size, r_step_size)
     pts = np.arange(

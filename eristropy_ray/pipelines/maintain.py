@@ -44,6 +44,13 @@ def cascade_stats(fine: pd.DataFrame, coarse_tier: str) -> pd.DataFrame:
     bit-for-bit; min/max/count are trivially exact.
     """
     step = TIER_STEPS_US[coarse_tier]
+    if "tier" in fine.columns:
+        tiers = fine["tier"].unique()
+        if len(tiers) > 1:
+            # mixed tiers would silently count each turn once PER tier
+            raise ValueError(
+                f"cascade_stats expects rows of a single fine tier, got {sorted(tiers)}"
+            )
     df = fine.copy()
     b = df["bucket_ts"]
     if np.issubdtype(b.dtype, np.datetime64):
@@ -80,24 +87,46 @@ def apply_retention(
     ``now_us - policy[tier]``. Returns {tier: files_deleted}.
 
     Files are the checkpoint/resume granularity, so deletion never splits
-    a codec stream or a shard. A file survives until its newest bucket
-    expires (conservative)."""
+    a codec stream or a shard. A file survives until its newest COVERED
+    timestamp expires: for rollup rows that is max(bucket_ts) + step, and
+    for blocks max(block_start + n_points*step) — a block's start is its
+    OLDEST bucket, so judging by block_start alone would delete files
+    still holding in-retention points."""
     out = Path(out_dir)
     deleted: dict[str, int] = {}
     for tier, max_age in policy.items():
         cutoff = now_us - max_age
+        step = TIER_STEPS_US[tier]
         count = 0
         for sub in subdirs:
-            ts_col = "bucket_ts" if sub == "rollup" else "block_start"
             for f in out.glob(f"{sub}/**/tier={tier}/*.parquet"):
                 try:
-                    meta = pq.read_table(f, columns=[ts_col])
+                    if sub == "rollup":
+                        meta = pq.read_table(f, columns=["bucket_ts"])
+                        if not meta.num_rows:
+                            continue
+                        newest = (
+                            int(
+                                pa.compute.max(
+                                    meta["bucket_ts"].cast(pa.int64())
+                                ).as_py()
+                            )
+                            + step
+                        )
+                    else:
+                        meta = pq.read_table(
+                            f, columns=["block_start", "n_points"]
+                        )
+                        if not meta.num_rows:
+                            continue
+                        starts = meta["block_start"].cast(pa.int64()).to_numpy()
+                        npts = (
+                            meta["n_points"].cast(pa.int64()).to_numpy()
+                        )
+                        newest = int((starts + npts * step).max())
                 except (OSError, KeyError):
                     continue
-                col = meta[ts_col].cast(pa.int64())
-                if meta.num_rows and int(
-                    pa.compute.max(col).as_py()
-                ) < cutoff:
+                if newest < cutoff:
                     f.unlink()
                     count += 1
         deleted[tier] = count
@@ -137,16 +166,29 @@ def update_windows_incremental(
     # dedupe exact replays of the same (conv, turn_idx)
     merged = merged.drop_duplicates(["conv_id", "turn_idx"], keep="last")
 
-    # recompute only the day-groups containing new turns (windows of every
-    # tier <= 1d nest inside them)
+    # recompute the day-groups containing new turns (windows of every tier
+    # <= 1d nest inside them) PLUS the stored days of replayed keys — a
+    # corrected turn whose timestamp moved across a day boundary must
+    # vacate its old day too
     day = TIER_STEPS_US["1d"]
-    new_days = set(
+    scope_days = set(
         zip(new_turns["conv_id"], (_ts_us(new_turns) // day) * day)
     )
+    new_keys = set(zip(new_turns["conv_id"], new_turns["turn_idx"]))
+    replaced = stored[
+        [
+            (c, t) in new_keys
+            for c, t in zip(stored["conv_id"], stored["turn_idx"])
+        ]
+    ]
+    if len(replaced):
+        scope_days |= set(
+            zip(replaced["conv_id"], (_ts_us(replaced) // day) * day)
+        )
     m_ts = _ts_us(merged)
     m_day = (m_ts // day) * day
     in_scope = [
-        (c, d) in new_days for c, d in zip(merged["conv_id"], m_day)
+        (c, d) in scope_days for c, d in zip(merged["conv_id"], m_day)
     ]
     scope = merged[np.asarray(in_scope)]
 
@@ -170,12 +212,18 @@ def update_windows_incremental(
         existing["bucket_ts"] = pd.to_datetime(existing["bucket_ts"], unit="us")
     else:
         existing["bucket_ts"] = pd.to_datetime(existing["bucket_ts"])
-    replaced_keys = set(map(tuple, recomputed[key].itertuples(index=False)))
-    keep_mask = [
-        tuple(row) not in replaced_keys
-        for row in existing[key].itertuples(index=False)
-    ]
-    out = pd.concat(
-        [existing[np.asarray(keep_mask)], recomputed], ignore_index=True
+    # drop EVERY existing row whose (conv, day) is in the recompute scope,
+    # not just keys present in `recomputed`: a bucket emptied by a moved
+    # turn has no recomputed row, and keeping its stale row would count
+    # the turn in both its old and new buckets
+    ex_us = existing["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ex_day = (ex_us // day) * day
+    stale = np.array(
+        [
+            (c, d) in scope_days
+            for c, d in zip(existing["conv_id"], ex_day)
+        ],
+        dtype=bool,
     )
+    out = pd.concat([existing[~stale], recomputed], ignore_index=True)
     return out.sort_values(key, kind="stable").reset_index(drop=True)

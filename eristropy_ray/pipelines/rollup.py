@@ -231,7 +231,17 @@ def fused_rollup_encode_colocated(
             pq.read_table(p, columns=TRANSCRIPT_READ_COLUMNS)
             for p in batch["path"].to_pylist()
         ]
-        stem = Path(batch["path"][0].as_py()).stem
+        src = batch["path"][0].as_py()
+        # stem alone collides for equal basenames in different dirs —
+        # whichever task finished last would silently overwrite the
+        # other's rollup checkpoint; salt with a path digest
+        import hashlib as _hashlib
+
+        stem = (
+            Path(src).stem
+            + "-"
+            + _hashlib.sha1(src.encode()).hexdigest()[:8]
+        )
         turns = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         rollup = _rollup_table(project_turns(turns), cfg)
         tiers = rollup["tier"].to_numpy(zero_copy_only=False)

@@ -96,9 +96,15 @@ def _text_array_from_lengths(lengths: np.ndarray) -> pa.Array:
         pad += pad
     pad_np = np.frombuffer(pad.encode("ascii"), dtype=np.uint8)
     lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    if total >= 2**31:
+        # int32 string offsets would silently wrap and corrupt the column
+        raise ValueError(
+            f"file text totals {total} bytes, exceeding int32 string "
+            "offsets - increase n_files so each file stays under 2 GiB"
+        )
     offsets = np.zeros(lengths.size + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
-    total = int(offsets[-1])
     # position within each row: global index minus the row's start offset
     within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
     data = pad_np[within]
@@ -175,7 +181,9 @@ def events_to_transcripts(batch: pa.Table) -> pa.Table:
             "conv_id": pc.binary_join_element_wise(
                 pa.array(["u"] * n), pc.cast(batch["user_id"], pa.string()), ""
             ),
-            "turn_idx": pc.cast(event_id, pa.int32()),
+            # int64: event ids at target volumes exceed 2^31 and the
+            # checked int32 cast would raise mid-pipeline
+            "turn_idx": pc.cast(event_id, pa.int64()),
             "role": pa.array(["user"] * n, pa.string()),
             "text": pc.cast(pc.fill_null(batch["props"], ""), pa.string()),
             "tool": pc.cast(batch["event_type"], pa.string()),

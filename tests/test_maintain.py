@@ -155,3 +155,72 @@ def test_incremental_update_accepts_int64_us_bucket_ts(rng):
         full.sort_values(key, kind="stable").reset_index(drop=True),
         check_exact=True,
     )
+
+
+def test_incremental_update_vacates_moved_turn_buckets(rng):
+    """A replayed turn whose timestamp moved to a different bucket (and
+    day) must vacate the old bucket AND the old day — no double count."""
+    cfg = RollupConfig()
+    df = _turns(rng, n_convs=1, n=80)
+    rollup = _rollup_df(df, cfg)
+    # move one stored turn ~2 days forward
+    moved = df.iloc[[10]].copy()
+    moved["ts"] = moved["ts"] + 2 * 86_400_000_000
+    updated = update_windows_incremental(rollup, df, moved, cfg)
+    df_after = df.copy()
+    df_after.loc[df_after.index[10], "ts"] = moved["ts"].iloc[0]
+    full = _rollup_df(df_after, cfg)
+    key = ["conv_id", "tier", "bucket_ts"]
+    pd.testing.assert_frame_equal(
+        updated.sort_values(key, kind="stable").reset_index(drop=True)[full.columns],
+        full.sort_values(key, kind="stable").reset_index(drop=True),
+        check_exact=True,
+    )
+    # total turn count conserved at every tier (the old double-count bug
+    # inflated these)
+    for tier in ("1m", "1h", "1d"):
+        assert (
+            updated[updated["tier"] == tier]["n_turns"].sum()
+            == full[full["tier"] == tier]["n_turns"].sum()
+        )
+
+
+def test_retention_keeps_blocks_with_in_retention_points(tmp_path):
+    """A block FILE whose block_start is old but whose points extend into
+    the retention window must survive (block_start is the block's OLDEST
+    bucket)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.maintain import apply_retention
+
+    d = tmp_path / "blocks" / "shard=0" / "tier=1d"
+    d.mkdir(parents=True)
+    day = 86_400_000_000
+    now = 100 * day
+    # block starts 30 days ago but covers 25 days -> newest point 5d ago
+    pq.write_table(
+        pa.table(
+            {"block_start": pa.array([now - 30 * day], pa.timestamp("us")),
+             "n_points": pa.array([25], pa.int32())}
+        ),
+        d / "a.parquet",
+    )
+    # block fully expired: starts 30d ago, covers 3 days
+    pq.write_table(
+        pa.table(
+            {"block_start": pa.array([now - 30 * day], pa.timestamp("us")),
+             "n_points": pa.array([3], pa.int32())}
+        ),
+        d / "b.parquet",
+    )
+    deleted = apply_retention(tmp_path, now, {"1d": 7 * day}, subdirs=("blocks",))
+    assert deleted == {"1d": 1}
+    assert (d / "a.parquet").exists() and not (d / "b.parquet").exists()
+
+
+def test_cascade_rejects_mixed_tiers(rng):
+    cfg = RollupConfig()
+    rollup = _rollup_df(_turns(rng, n_convs=1, n=50), cfg)
+    with pytest.raises(ValueError, match="single fine tier"):
+        cascade_stats(rollup, "1d")  # all three tiers present
