@@ -1622,7 +1622,10 @@ QUERIES = {
 def _rollup_sql(step_us: int) -> str:
     return f"""
 SELECT user_id,
-       epoch_us(ts) - epoch_us(ts) % {step_us} AS bucket_us,
+       -- ((x % s + s) % s) keeps FLOOR semantics for negative epochs
+       -- (DuckDB % truncates toward zero; the numpy side floors)
+       epoch_us(ts) - ((epoch_us(ts) % {step_us} + {step_us}) % {step_us})
+         AS bucket_us,
        COUNT(*) AS n_obs,
        MIN(value) AS value_min,
        MAX(value) AS value_max,
@@ -1677,7 +1680,7 @@ _TIER_BLOCKS_SQL = """
 WITH t(tier, step) AS (VALUES ('1m', 60000000), ('1h', 3600000000), ('1d', 86400000000)),
 b AS (
   SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, t.tier, t.step,
-         epoch_us(ts) - epoch_us(ts) % t.step AS bucket
+         epoch_us(ts) - ((epoch_us(ts) % t.step + t.step) % t.step) AS bucket
   FROM events, t GROUP BY 1,2,3,4
 ), g AS (
   SELECT conv_id, tier, step, MIN(bucket) AS b0, MAX(bucket) AS b1
