@@ -70,6 +70,7 @@ def hll_estimate(regs: np.ndarray) -> float:
         zeros = int((regs == 0).sum())
         if zeros:
             return m * float(np.log(m / zeros))
-    if est > (1 << 32) / 30.0:
-        return float(-(1 << 32) * np.log1p(-est / (1 << 32)))
+    # the paper's large-range correction is for 32-bit hashes; this
+    # sketch hashes 64 bits (no 2^32 saturation), where applying it
+    # would bias estimates above ~143M and blow up past 2^32
     return float(est)

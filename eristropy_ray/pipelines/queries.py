@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from eristropy_ray.config import RollupConfig
+from eristropy_ray.config import EncodeConfig, RollupConfig
 from eristropy_ray.stages.signals import (
     adf_partition,
     difference_partition,
@@ -93,8 +93,9 @@ def q_min_signal_length(sf_dir: str):
         .groupby("user_id")
         .aggregate(Count(alias_name="n_obs"))
     )
-    m = counts.min("n_obs")
-    return pd.DataFrame({"min_len": [int(m)]})
+    if counts.count() == 0:  # empty table: Dataset.min returns None
+        return pd.DataFrame({"min_len": pd.Series(dtype="int64")})
+    return pd.DataFrame({"min_len": [int(counts.min("n_obs"))]})
 
 
 def q_doc_len(sf_dir: str):
@@ -221,6 +222,15 @@ def q_dedup_exact(sf_dir: str):
 # RE2's is not — explicit classes make both engines match identically):
 # contractions | space?letter-run | space?digit-run | space?punct-run
 _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r']+"
+_WS_TOKEN_PAT = r"[^ \t\n\f\r]+"
+
+
+def _sql_regex(pat: str) -> str:
+    """SQL string literal of a Python regex: the escapes (\t etc.) are
+    already literal backslash sequences RE2 understands; only quotes need
+    doubling. Generating the oracle pattern from the SAME constant keeps
+    the two engines from drifting (CLAUDE.md bit-exactness rule)."""
+    return "'" + pat.replace("'", "''") + "'"
 
 
 def q_token_counts(sf_dir: str):
@@ -234,7 +244,7 @@ def q_token_counts(sf_dir: str):
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": df["text"]
-                .str.findall(r"[^ \t\n\f\r]+")
+                .str.findall(_WS_TOKEN_PAT)
                 .str.len()
                 .astype("int64"),
                 "n_bpe_tokens": df["text"]
@@ -261,8 +271,12 @@ def q_quality_scores(sf_dir: str):
                 "n_chars": n_chars,
                 "n_punct": n_punct,
                 "n_upper": n_upper,
-                "punct_ratio": n_punct.to_numpy() / n_chars.to_numpy(),
-                "upper_ratio": n_upper.to_numpy() / n_chars.to_numpy(),
+                # max(n,1): an empty doc scores 0.0 on BOTH engines
+                # (0/0 would be NaN here but NULL in DuckDB)
+                "punct_ratio": n_punct.to_numpy()
+                / np.maximum(n_chars.to_numpy(), 1),
+                "upper_ratio": n_upper.to_numpy()
+                / np.maximum(n_chars.to_numpy(), 1),
             }
         )
 
@@ -282,7 +296,9 @@ def q_similarity_topk(sf_dir: str, k: int = 10):
         if hit.size:
             qvec = np.asarray(batch["embedding"][hit[0]].as_py(), dtype=np.float64)
             break
-    qref = ray.put(qvec / np.sqrt((qvec * qvec).sum()))
+    if qvec is None:
+        raise ValueError("similarity_topk: no row with vec_id=0 in embeddings")
+    qref = ray.put(qvec / max(np.sqrt((qvec * qvec).sum()), 1e-30))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -293,7 +309,7 @@ def q_similarity_topk(sf_dir: str, k: int = 10):
         emb = np.stack(
             [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
         )
-        norms = np.sqrt((emb * emb).sum(axis=1))
+        norms = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-30)
         sims = np.round((emb @ q) / norms, 4)
         ids = b["vec_id"].to_numpy()
         # per-block top-k on the SAME key as the final sort, so the tiny
@@ -703,7 +719,10 @@ def q_knn_all(sf_dir: str, k: int = 5):
             self_mask = c_ids == q_ids[i]
             row[self_mask] = -np.inf
             order = np.lexsort((c_ids, -row))[:k]
-            out["vec_id"].extend([int(q_ids[i])] * k)
+            # drop the self row (sim forced to -inf) so a corpus with
+            # <= k vectors emits corpus-1 neighbors, not a ragged table
+            order = order[np.isfinite(row[order])]
+            out["vec_id"].extend([int(q_ids[i])] * order.size)
             out["neighbor_id"].extend(c_ids[order].tolist())
             out["sim"].extend(row[order].tolist())
         return pa.table(
@@ -962,14 +981,20 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
         rows = {"doc_a": [], "doc_b": [], "jaccard": []}
         for qid in q_ids:
             qi = int(np.searchsorted(c_ids, qid))
-            inter = pop[np.bitwise_and(c_bits[qi][None, :], c_bits)].sum(
+            # c_ids is sorted: only the > qid half can form an (a < b)
+            # pair, so AND+popcount over just that slice (halves the
+            # dominant cost of this baseline)
+            tail_bits = c_bits[qi + 1 :]
+            if not tail_bits.size:
+                continue
+            inter = pop[np.bitwise_and(c_bits[qi][None, :], tail_bits)].sum(
                 axis=1, dtype=np.int64
             )
-            union = c_sizes[qi] + c_sizes - inter
+            union = c_sizes[qi] + c_sizes[qi + 1 :] - inter
             j = inter / np.maximum(union, 1)
-            hit = np.flatnonzero((j >= tau) & (c_ids > qid))
+            hit = np.flatnonzero(j >= tau)
             rows["doc_a"].extend([int(qid)] * hit.size)
-            rows["doc_b"].extend(c_ids[hit].tolist())
+            rows["doc_b"].extend(c_ids[qi + 1 :][hit].tolist())
             rows["jaccard"].extend(j[hit].tolist())
         return pa.table(
             {
@@ -1007,7 +1032,7 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
                 ],
                 "doc_id": sub["doc_id"].to_numpy(dtype=np.int64),
                 "n_tokens": sub["text"]
-                .str.findall(r"[^ \t\n\f\r]+")
+                .str.findall(_WS_TOKEN_PAT)
                 .str.len()
                 .astype("int64"),
             }
@@ -1416,12 +1441,10 @@ def q_pricing_summary(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def q_asof_purchase_click(sf_dir: str):
-    """As-of join: for each 'purchase' event, the user's most recent
-    STRICTLY earlier 'click' event (pd.merge_asof inside hash partitions
-    keyed by user — the guide's canonical as-of pattern; right side made
-    unique per (user, ts) so tie resolution is deterministic on both
-    engines)."""
+def _typed_user_events(sf_dir: str) -> rd.Dataset:
+    """Shared typed projection for the user-keyed joins (as-of, range):
+    (user_id, ts_us, event_id, event_type, part) — ONE definition so the
+    join queries can never departition differently."""
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
@@ -1429,18 +1452,26 @@ def q_asof_purchase_click(sf_dir: str):
 
     def to_typed(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = _hash_part(uid)
         return pa.table(
             {
                 "user_id": pa.array(uid, pa.int64()),
                 "ts_us": pc.cast(b["ts"], pa.int64()),
                 "event_id": pc.cast(b["event_id"], pa.int64()),
                 "event_type": b["event_type"],
-                "part": pa.array(part, pa.int64()),
+                "part": pa.array(_hash_part(uid), pa.int64()),
             }
         )
 
-    typed = events.map_batches(to_typed, batch_format="pyarrow")
+    return events.map_batches(to_typed, batch_format="pyarrow")
+
+
+def q_asof_purchase_click(sf_dir: str):
+    """As-of join: for each 'purchase' event, the user's most recent
+    STRICTLY earlier 'click' event (pd.merge_asof inside hash partitions
+    keyed by user — the guide's canonical as-of pattern; right side made
+    unique per (user, ts) so tie resolution is deterministic on both
+    engines)."""
+    typed = _typed_user_events(sf_dir)
 
     def asof_partition(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["event_type"] == "purchase"][
@@ -1490,22 +1521,7 @@ def q_clicks_before_purchase(sf_dir: str):
     """Range join: for each 'purchase', count the same user's clicks in
     the preceding hour (vectorized searchsorted per partition; exact
     integer output vs an inequality-join SQL oracle)."""
-    events = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
-    )
-
-    def to_typed(b: pa.Table) -> pa.Table:
-        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = _hash_part(uid)
-        return pa.table(
-            {
-                "user_id": pa.array(uid, pa.int64()),
-                "ts_us": pc.cast(b["ts"], pa.int64()),
-                "event_id": pc.cast(b["event_id"], pa.int64()),
-                "event_type": b["event_type"],
-                "part": pa.array(part, pa.int64()),
-            }
-        )
+    typed = _typed_user_events(sf_dir)
 
     def range_partition(df: pd.DataFrame) -> pd.DataFrame:
         out = {"event_id": [], "user_id": [], "ts_us": [], "n_clicks_1h": []}
@@ -1536,7 +1552,6 @@ def q_clicks_before_purchase(sf_dir: str):
         return range_partition(df.drop(columns=["part"]))
 
     wrapper.__name__ = "range_join_partition"
-    typed = events.map_batches(to_typed, batch_format="pyarrow")
     return typed.groupby("part").map_groups(wrapper, batch_format="pandas")
 
 
@@ -1676,7 +1691,7 @@ FROM r WHERE rn = 1
 """
 
 
-_TIER_BLOCKS_SQL = """
+_TIER_BLOCKS_SQL = f"""
 WITH t(tier, step) AS (VALUES ('1m', 60000000), ('1h', 3600000000), ('1d', 86400000000)),
 b AS (
   SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, t.tier, t.step,
@@ -1698,7 +1713,7 @@ SELECT grid.conv_id, grid.tier,
          AS gap_filled_points
 FROM grid LEFT JOIN b
   ON b.conv_id = grid.conv_id AND b.tier = grid.tier AND b.bucket = grid.bucket
-GROUP BY grid.conv_id, grid.tier, grid.idx // 4096
+GROUP BY grid.conv_id, grid.tier, grid.idx // {EncodeConfig().max_points}
 """
 
 
@@ -1709,7 +1724,7 @@ def _clean_corpus_sql() -> str:
 WITH lang AS ({_langid_sql()}),
 scored AS (
   SELECT d.doc_id, d.text,
-         CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\f\\r]+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(d.text, {_sql_regex(_WS_TOKEN_PAT)})) AS BIGINT) AS n_tokens
   FROM documents d JOIN lang ON d.doc_id = lang.doc_id
   WHERE length(d.text) >= 100
     AND CAST(length(regexp_extract_all(d.text, '[.!?,;:]')) AS DOUBLE)
@@ -1825,12 +1840,12 @@ SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
     "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes FROM documents GROUP BY text
 """,
-    "token_counts": """
+    "token_counts": f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text,
-         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r'']+'))
-         AS BIGINT) AS n_bpe_tokens
+       CAST(len(regexp_extract_all(text, {_sql_regex(_WS_TOKEN_PAT)})) AS BIGINT)
+         AS n_tokens,
+       CAST(len(regexp_extract_all(text, {_sql_regex(_BPE_PAT)})) AS BIGINT)
+         AS n_bpe_tokens
 FROM documents
 """,
     "quality_scores": """
@@ -1839,9 +1854,9 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
        CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
-         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-         / CAST(length(text) AS DOUBLE) AS upper_ratio
+         / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio
 FROM documents
 """,
     "clicks_before_purchase": """
