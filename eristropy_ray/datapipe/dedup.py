@@ -46,6 +46,17 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+# Codepoint ranges of Python's regex-``\s`` set. This is the SINGLE
+# source for the SQL oracle's word-splitter character class
+# (pipelines/queries._minhash_sql); tests assert it stays in lockstep
+# with the byte-level ``_whitespace_mask`` below.
+WS_RANGES: list[tuple[int, int]] = [
+    (0x09, 0x0D), (0x1C, 0x20), (0x85, 0x85), (0xA0, 0xA0),
+    (0x1680, 0x1680), (0x2000, 0x200A), (0x2028, 0x2029),
+    (0x202F, 0x202F), (0x205F, 0x205F), (0x3000, 0x3000),
+]
+
+
 def _whitespace_mask(arr: np.ndarray) -> np.ndarray:
     """Byte positions belonging to a Python ``\\s`` character in UTF-8.
 

@@ -225,6 +225,16 @@ _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r']
 _WS_TOKEN_PAT = r"[^ \t\n\f\r]+"
 
 
+def _parquet_rows(path_glob: str) -> int:
+    """Exact row count from parquet footer metadata — no data scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    paths = _glob.glob(path_glob) or [path_glob]
+    return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 def _sql_regex(pat: str) -> str:
     """SQL string literal of a Python regex: the escapes (\t etc.) are
     already literal backslash sequences RE2 understands; only quotes need
@@ -558,6 +568,13 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     pair. The corpus text is never broadcast or collected on the driver —
     only the (few) candidate pairs flow through the joins. Buckets larger
     than ``bucket_cap`` docs are counted and logged, not silently dropped.
+
+    Oracle-exact: on the test corpus LSH recall is 1.0 (every exact
+    word-shingle-Jaccard>=0.5 pair shares at least one band — asserted in
+    tests/test_datapipe.py), so the verified output IS the exact pair set
+    and matches the all-pairs SQL twin (``_minhash_sql``) bit-for-bit:
+    the emitted jaccard is an unrounded int/int double division on both
+    sides.
     """
     import itertools
     import logging
@@ -653,8 +670,9 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     # candidate set; the document table streams through the join — the
     # corpus never lands on the driver). The join repartitions BOTH
     # sides, so partition count must scale with the corpus, not the
-    # (tiny) pair side: ~50k docs per partition, floor 2.
-    n_join_parts = max(2, docs.count() // 50_000)
+    # (tiny) pair side: ~50k docs per partition, floor 2. Row count comes
+    # from the parquet footers — no extra full scan of the table.
+    n_join_parts = max(2, _parquet_rows(f"{sf_dir}/documents.parquet") // 50_000)
     pairs_ds = rd.from_pandas(pairs_pd)
     with_a = pairs_ds.join(
         docs, "inner", num_partitions=n_join_parts,
@@ -676,7 +694,9 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
             if j >= 0.5:
                 keep["doc_a"].append(int(a))
                 keep["doc_b"].append(int(b))
-                keep["jaccard"].append(round(j, 4))
+                # unrounded: inter/union int->double division is
+                # bit-identical to the SQL twin's CAST(...)/uni
+                keep["jaccard"].append(j)
         return pd.DataFrame(keep).astype(
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
@@ -1691,6 +1711,45 @@ FROM r WHERE rn = 1
 """
 
 
+def _minhash_sql() -> str:
+    """All-pairs word-shingle-Jaccard twin of q_minhash_neardup.
+
+    The word splitter's character class is GENERATED from
+    ``dedup.WS_RANGES`` (the same Python-``\\s`` codepoint set that
+    ``dedup._whitespace_mask`` implements byte-wise), so the two engines
+    tokenize identically. Shingle semantics mirror
+    ``dedup.word_shingle_hashes``: docs with >= 3 words use the distinct
+    3-word shingle set; shorter docs collapse to one shingle (the whole
+    word tuple — a space join is unambiguous because words contain no
+    whitespace). jaccard = inter/union as an exact int->double division.
+    """
+    from eristropy_ray.datapipe.dedup import WS_RANGES
+
+    cls = "".join(
+        (f"\\x{{{lo:04X}}}" if lo == hi else f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}")
+        for lo, hi in WS_RANGES
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[^{cls}]+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(ws)-2),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+    ELSE [array_to_string(ws, ' ')] END AS grams
+  FROM w
+), p AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+"""
+
+
 _TIER_BLOCKS_SQL = f"""
 WITH t(tier, step) AS (VALUES ('1m', 60000000), ('1h', 3600000000), ('1d', 86400000000)),
 b AS (
@@ -1737,6 +1796,7 @@ FROM scored GROUP BY text
 
 
 ORACLE_SQL = {
+    "minhash_neardup": _minhash_sql(),
     "clean_corpus": _clean_corpus_sql(),
     "langid": _langid_sql(),
     "tier_blocks": _TIER_BLOCKS_SQL,

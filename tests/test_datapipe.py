@@ -377,3 +377,60 @@ def test_frame_sample_stage(ray_session):
     assert all(f == b"" for f in out[out["item_id"] == 3]["frame"])
     with pytest.raises(NotImplementedError):
         FrameSampleStage(decoder="real")(t)
+
+
+def test_ws_ranges_match_whitespace_mask():
+    """WS_RANGES (the SQL oracle's word-splitter source) must stay in
+    lockstep with the byte-level _whitespace_mask AND Python's regex \\s
+    for every BMP codepoint."""
+    import re
+
+    from eristropy_ray.datapipe.dedup import WS_RANGES, _whitespace_mask
+
+    in_ranges = set()
+    for lo, hi in WS_RANGES:
+        in_ranges.update(range(lo, hi + 1))
+    ws_re = re.compile(r"\s")
+    for cp in range(0x3101):
+        ch = chr(cp)
+        assert (cp in in_ranges) == bool(ws_re.match(ch)), hex(cp)
+        b = np.frombuffer(ch.encode("utf-8"), dtype=np.uint8)
+        mask = _whitespace_mask(b)
+        assert mask.all() == (cp in in_ranges), hex(cp)
+
+
+def test_minhash_lsh_recall_is_exact_on_gate_corpus():
+    """Every exact word-shingle-Jaccard>=0.5 pair on the sf0.01 oracle
+    corpus shares an LSH band at the production settings (num_perm=64,
+    16 bands) — recall 1.0 is what makes q_minhash_neardup's verified
+    output equal the all-pairs SQL twin."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = tbl["doc_id"].to_numpy().astype(np.int64)
+    texts = tbl["text"].to_pylist()
+    sets = [word_shingle_hashes(t, 3) for t in texts]
+    exact = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            uni = sets[i].size + sets[j].size - inter
+            if uni and inter / uni >= 0.5:
+                exact.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert exact  # the synthesized corpus plants near-dups
+
+    sigs = minhash_signature_batch(texts, num_perm=64)
+    band_id, band_hash = lsh_band_keys(sigs, n_bands=16)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, b, h in zip(np.repeat(ids, 16), band_id, band_hash):
+        buckets.setdefault((int(b), int(h)), []).append(int(d))
+    cands = set()
+    for v in buckets.values():
+        v = sorted(set(v))
+        if len(v) >= 2:
+            cands.update(itertools.combinations(v, 2))
+    assert exact <= cands, f"LSH missed {sorted(exact - cands)[:5]}"
