@@ -1,22 +1,25 @@
 """Multimodal binary-column plumbing.
 
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
-metadata. The Ray-side shape is real and tested — schema, actor-pool
-signature, small batch sizes for wide rows, output layout — while the
-actual media decoding is STUBBED: no image/audio libraries exist in this
-container, so ``decode`` raises ``NotImplementedError`` unless a
-deterministic fake feature extractor is requested.
+metadata. The Ray-side shape — schema, actor-pool signature, small batch
+sizes for wide rows, output layout — is real and tested, and so is the
+decoding for the formats the standard library can express:
+
+- ``extractor="real"`` / ``decoder="real"``: PNG (zlib + numpy scanline
+  reconstruction) and PCM WAV (the ``wave`` module) are actually decoded
+  (``datapipe/media.py``); payloads of any other format — or corrupt
+  ones — degrade per row (NaN features / empty frames) instead of
+  failing the job, the right behavior for web-scale dirty data.
+- ``extractor="fake"`` / ``decoder="fake"``: a deterministic
+  payload-hash embedding / byte-window sampler, format-agnostic — used
+  by determinism tests and as the stand-in for model-based extractors
+  (no ML libraries exist in this container).
 
 Usage:
-    ds.map_batches(BinaryFeatureStage(extractor="fake"),
+    ds.map_batches(BinaryFeatureStage(extractor="real"),
                    batch_format="pyarrow",
                    batch_size=256,          # small: payload rows are wide
                    concurrency=8, num_cpus=1)
-
-Format sniffing (magic bytes) is real; the fake extractor hashes payload
-bytes into a fixed-dim float vector (stable across workers), standing in
-for a model embedding so downstream similarity/dedup stages can be tested
-end-to-end.
 """
 
 from __future__ import annotations
@@ -59,9 +62,11 @@ class BinaryFeatureStage:
     """Actor-pool map_batches stage over a binary payload column.
 
     Setup (per actor, once): choose the extractor. ``extractor="fake"``
-    uses the deterministic hash embedding; ``extractor="real"`` is the
-    stub for an actual decoder and raises ``NotImplementedError`` at call
-    time (the container has no media libraries)."""
+    uses the deterministic hash embedding; ``extractor="real"`` decodes
+    PNG/WAV payloads (stdlib decoders, ``datapipe/media.py``) and emits
+    their moment-vector features — rows whose payload can't be decoded
+    (unsupported format, corrupt bytes) get a NaN embedding and
+    ``decode_ok=False`` rather than failing the task."""
 
     def __init__(
         self, payload_col: str = "payload", extractor: str = "fake", dim: int = 8
@@ -73,16 +78,11 @@ class BinaryFeatureStage:
             raise ValueError("extractor must be 'fake' or 'real'")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.extractor == "real":
-            raise NotImplementedError(
-                "media decoding requires image/audio libraries not present "
-                "in this environment; use extractor='fake' for the "
-                "deterministic stand-in"
-            )
+        from eristropy_ray.datapipe.media import real_features
+
         payloads = batch[self.payload_col].to_pylist()
         fmts = [sniff_format(p or b"") for p in payloads]
         sizes = [len(p or b"") for p in payloads]
-        embs = np.stack([fake_embedding(p or b"", self.dim) for p in payloads])
         cols = {
             name: batch[name]
             for name in batch.column_names
@@ -90,7 +90,22 @@ class BinaryFeatureStage:
         }
         cols["format"] = pa.array(fmts, pa.string())
         cols["n_bytes"] = pa.array(sizes, pa.int64())
-        cols["embedding"] = pa.array(list(embs), pa.list_(pa.float64()))
+        if self.extractor == "real":
+            embs = []
+            ok = []
+            for p, fmt in zip(payloads, fmts):
+                try:
+                    embs.append(real_features(p or b"", fmt, self.dim))
+                    ok.append(True)
+                except ValueError:
+                    embs.append(np.full(self.dim, np.nan))
+                    ok.append(False)
+            cols["decode_ok"] = pa.array(ok, pa.bool_())
+        else:
+            embs = [fake_embedding(p or b"", self.dim) for p in payloads]
+        cols["embedding"] = pa.array(
+            [e.tolist() for e in embs], pa.list_(pa.float64())
+        )
         return pa.table(cols)
 
 
@@ -98,12 +113,15 @@ class FrameSampleStage:
     """Actor-pool 1->N frame-sampling stage for video-ish payloads.
 
     Emits one row per (item, frame_idx): evenly spaced frames, the
-    standard pre-processing shape for video training data. The actual
-    decoder is STUBBED (``decoder="real"`` raises — no media libraries
-    in this container); ``decoder="fake"`` slices deterministic
-    fixed-size byte windows out of the payload so the 1->N explode, the
-    binary frame column, and downstream batch sizing are all exercised
-    for real.
+    standard pre-processing shape for video training data.
+    ``decoder="real"`` decodes the payload first (stdlib PNG/WAV,
+    ``datapipe/media.py``) and samples evenly spaced windows of the
+    DECODED stream — scanline bands of an image, sample windows of an
+    audio clip; undecodable payloads degrade to empty frames per row
+    (dirty web data must not fail the job). ``decoder="fake"`` slices
+    deterministic fixed-size byte windows out of the raw payload so the
+    1->N explode, the binary frame column, and downstream batch sizing
+    can be tested without media fixtures.
 
     Usage:
         ds.map_batches(FrameSampleStage(n_frames=4),
@@ -125,20 +143,33 @@ class FrameSampleStage:
         self.frame_bytes = frame_bytes
         self.decoder = decoder
 
+    def _decoded_stream(self, payload: bytes) -> bytes:
+        """Raw bytes of the decoded content (pixels row-major / PCM
+        samples), or b'' when no stdlib decoder applies."""
+        from eristropy_ray.datapipe.media import decode_png, decode_wav
+        from eristropy_ray.datapipe.multimodal import sniff_format
+
+        fmt = sniff_format(payload)
+        try:
+            if fmt == "png":
+                return decode_png(payload).tobytes()
+            if fmt == "riff":
+                samples, _rate = decode_wav(payload)
+                return samples.tobytes()
+        except ValueError:
+            return b""
+        return b""
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError(
-                "video decoding requires media libraries not present in "
-                "this environment; use decoder='fake' for the deterministic "
-                "byte-window stand-in"
-            )
         payloads = batch[self.payload_col].to_pylist()
         n = len(payloads)
         keep = [c for c in batch.column_names if c != self.payload_col]
         frames: list[bytes] = []
         for p in payloads:
             p = p or b""
-            # evenly spaced offsets over the payload (floor, stable)
+            if self.decoder == "real":
+                p = self._decoded_stream(p)
+            # evenly spaced offsets over the (decoded) stream (floor, stable)
             for f in range(self.n_frames):
                 off = (len(p) * f) // max(self.n_frames, 1)
                 frames.append(p[off : off + self.frame_bytes])

@@ -165,11 +165,138 @@ def test_multimodal_stage(ray_session):
     np.testing.assert_array_equal(emb[0], fake_embedding(payloads[0]))
 
 
-def test_multimodal_real_decoder_is_stubbed():
+def _encode_png(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Minimal PNG writer for round-trip tests: applies the REQUESTED
+    filter type per scanline (exercising every decoder filter path),
+    8-bit depth, gray/RGB/RGBA by channel count."""
+    import struct
+    import zlib
+
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.uint8)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+            filt = line - left
+        elif f == 2:  # Up
+            filt = line - prev
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+            filt = line - ((left.astype(np.int16) + prev.astype(np.int16)) // 2).astype(np.uint8)
+        else:  # Paeth
+            from eristropy_ray.datapipe.media import _paeth
+
+            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+            filt = line - _paeth(left, prev, upleft)
+        raw.extend(filt.tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_png_roundtrip_all_filters():
+    from eristropy_ray.datapipe.media import decode_png
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+        payload = _encode_png(px, filters=[0, 1, 2, 3, 4, 4, 3])
+        np.testing.assert_array_equal(decode_png(payload), px)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+
+
+def test_wav_roundtrip():
+    from eristropy_ray.datapipe.media import decode_wav
+
+    rng = np.random.default_rng(12)
+    want = rng.integers(-30000, 30000, size=(100, 2), dtype=np.int64)
+    samples, rate = decode_wav(_encode_wav(want, rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(samples, want)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFjunk")
+
+
+def test_multimodal_real_extractor():
+    """extractor='real' decodes PNG/WAV payloads to moment features and
+    degrades (NaN + decode_ok=False) on undecodable rows."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    png = _encode_png(px, filters=[1, 2, 3, 4])
+    wav = _encode_wav(rng.integers(-100, 100, size=(64, 1), dtype=np.int64))
     stage = BinaryFeatureStage(extractor="real")
-    with pytest.raises(NotImplementedError):
-        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+    out = stage(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array([png, wav, b"\xff\xd8\xffjpeg"], pa.binary()),
+            }
+        )
+    )
+    assert out["decode_ok"].to_pylist() == [True, True, False]
+    emb = np.stack(out["embedding"].to_numpy(zero_copy_only=False))
+    flat = px.astype(np.float64).reshape(-1)
+    np.testing.assert_allclose(emb[0, 0], flat.mean())
+    np.testing.assert_allclose(emb[0, 3], flat.max())
+    assert np.isnan(emb[2]).all()
     assert sniff_format(b"OggSdata") == "ogg"
+
+
+def test_frame_sample_real_decoder():
+    """decoder='real' samples windows of the DECODED stream (pixel rows
+    for PNG), and emits empty frames for undecodable payloads."""
+    from eristropy_ray.datapipe.multimodal import FrameSampleStage
+
+    px = np.arange(8 * 4 * 1, dtype=np.uint8).reshape(8, 4, 1)
+    png = _encode_png(px, filters=[0])
+    stage = FrameSampleStage(n_frames=2, frame_bytes=8, decoder="real")
+    out = stage(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array([png, b"garbage"], pa.binary()),
+            }
+        )
+    )
+    frames = out["frame"].to_pylist()
+    stream = px.tobytes()  # 32 decoded bytes -> windows at offsets 0, 16
+    assert frames[0] == stream[0:8]
+    assert frames[1] == stream[16:24]
+    assert frames[2] == b"" and frames[3] == b""
 
 
 def test_benchmark_frame_reproduces_reference_generator():
@@ -375,8 +502,6 @@ def test_frame_sample_stage(ray_session):
     assert out["frame"][1] == bytes(range(64, 80))
     # degenerate payloads still emit n_frames rows
     assert all(f == b"" for f in out[out["item_id"] == 3]["frame"])
-    with pytest.raises(NotImplementedError):
-        FrameSampleStage(decoder="real")(t)
 
 
 def test_ws_ranges_match_whitespace_mask():
