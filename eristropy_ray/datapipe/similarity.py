@@ -62,6 +62,19 @@ def _kmeans(x: np.ndarray, n_cells: int, seed: int, n_iter: int = 10) -> np.ndar
     return centroids
 
 
+def supercell_assign(
+    centroids: np.ndarray, n_super: int, seed: int = 11
+) -> np.ndarray:
+    """Cluster the IVF centroids themselves into ``n_super`` proximity
+    groups ("supercells"). Because a query's ``n_probe`` nearest cells
+    are by construction angularly close, they mostly land in ONE
+    supercell — so routing by supercell ships each query vector ~1-2x
+    through the shuffle instead of n_probe x (measured in
+    tests/test_datapipe.py). Returns the supercell id per cell."""
+    sc = _kmeans(centroids, n_super, seed)
+    return (centroids @ sc.T).argmax(axis=1).astype(np.int64)
+
+
 @dataclass
 class IVFIndex:
     centroids: np.ndarray  # (C, d) unit rows

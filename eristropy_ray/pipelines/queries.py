@@ -762,6 +762,7 @@ def q_ann_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     sample_cap: int = 4096,
+    n_super: int | None = None,
 ):
     """IVF approximate nearest neighbors — distributed build AND probe.
 
@@ -769,18 +770,35 @@ def q_ann_ivf(
       1. centroids are k-means-trained on a bounded deterministic sample
          (vec_id stride mask, capped at ``sample_cap`` rows — the only
          driver materialization besides the final result) and broadcast
-         once via ``ray.put``;
+         once via ``ray.put``; the cells are then clustered into
+         ``n_super`` proximity supercells (``supercell_assign``);
       2. one ``map_batches`` assigns every vector to its nearest cell
-         (role=member) and routes every query to its ``n_probe`` nearest
-         cells (role=query) in the same pass;
-      3. ``groupby(cell)`` computes per-cell top-(k+1) partials;
+         (role=member, shipped ONCE; the member row doubles as the query
+         in its own supercell) and ships query copies only to the OTHER
+         distinct supercells among its ``n_probe`` nearest cells, each
+         carrying its probe-cell list. The shuffle therefore carries
+         1 + E[distinct other probe supercells] times the embedding
+         table: ~2.7x on adversarial uniform-random vectors (this
+         corpus; asserted < n_probe in tests/test_datapipe.py) and
+         approaching 1x on clustered real corpora, vs a flat
+         (1 + n_probe) = 5x for naive per-cell routing;
+      3. ``groupby(super)`` computes per-supercell top-(k+1) partials,
+         masking members whose cell is not in the query's probe list
+         (IVF semantics preserved exactly — parity-tested);
       4. ``groupby(query-hash)`` merges partials into the global top-k.
+    At cluster scale ``n_super`` rises with the node count so one
+    supercell's members fit a worker's heap; probe locality persists
+    because supercells group neighboring centroids.
     Recall vs brute force and parity with the single-process
     ``IVFIndex`` are asserted in tests/test_datapipe.py.
     """
     import ray
 
-    from eristropy_ray.datapipe.similarity import _kmeans, unit_rows
+    from eristropy_ray.datapipe.similarity import (
+        _kmeans,
+        supercell_assign,
+        unit_rows,
+    )
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -815,69 +833,97 @@ def q_ann_ivf(
         [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"].to_pylist()]
     )[order]
     centroids = _kmeans(unit_rows(s_vecs), n_cells, seed=7)
-    cref = ray.put(centroids)
+    if n_super is None:
+        n_super = max(2, n_cells // 4)
+    cell_super = supercell_assign(centroids, n_super)
+    cref = ray.put((centroids, cell_super))
 
     def assign_and_route(b: pa.Table) -> pa.Table:
-        c = ray.get(cref)
+        c, csuper = ray.get(cref)
         ids, u, d = _unit_matrix(b)
         scores = u @ c.T
-        # members: one row per vector in its own cell
+        # members: one row per vector, in its own cell's supercell. The
+        # member row carries the vector's probe list and DOUBLES as its
+        # query row in that group (the top probe cell is the member cell
+        # itself), so query copies ship only to the OTHER distinct
+        # supercells among the probed cells.
         m_cell = scores.argmax(axis=1).astype(np.int64)
-        # queries: n_probe rows per vector, one per probed cell
         q_cells = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int64)
-        cell = np.concatenate([m_cell, q_cells.reshape(-1)])
+        m_super = csuper[m_cell]
+        q_supers = np.sort(csuper[q_cells], axis=1)
+        first = np.ones_like(q_supers, dtype=bool)
+        first[:, 1:] = q_supers[:, 1:] != q_supers[:, :-1]
+        first &= q_supers != m_super[:, None]  # own group: member row covers it
+        qi, qj = np.nonzero(first)
+        n_q = qi.size
+        supercell = np.concatenate([m_super, q_supers[qi, qj]])
         role = np.concatenate(
-            [np.zeros(ids.size, np.int64), np.ones(ids.size * n_probe, np.int64)]
+            [np.zeros(ids.size, np.int64), np.ones(n_q, np.int64)]
         )
-        rid = np.concatenate([ids, np.repeat(ids, n_probe)])
-        vecs = np.concatenate([u, np.repeat(u, n_probe, axis=0)])
+        rid = np.concatenate([ids, ids[qi]])
+        vecs = np.concatenate([u, u[qi]])
+        cell = np.concatenate([m_cell, np.full(n_q, -1, np.int64)])
+        probes = np.concatenate([q_cells, q_cells[qi]])
         return pa.table(
             {
+                "super": pa.array(supercell, pa.int64()),
                 "cell": pa.array(cell, pa.int64()),
                 "role": pa.array(role, pa.int64()),
                 "rid": pa.array(rid, pa.int64()),
                 "vec": pa.FixedSizeListArray.from_arrays(
                     pa.array(vecs.reshape(-1), pa.float64()), d
                 ),
+                "probes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probes.reshape(-1), pa.int64()), n_probe
+                ),
             }
         )
 
     routed = emb.map_batches(assign_and_route, batch_format="pyarrow")
 
-    def cell_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def super_topk(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"qid": pd.Series(dtype="int64"), "nid": pd.Series(dtype="int64"),
              "sim": pd.Series(dtype="float64"), "qpart": pd.Series(dtype="int64")}
         )
         members = df[df["role"] == 0]
-        queries = df[df["role"] == 1]
+        queries = df  # every row (member or routed copy) queries here
         if members.empty or queries.empty:
             return empty
         m = np.stack(members["vec"].to_numpy())
         mids = members["rid"].to_numpy()
-        q = np.stack(queries["vec"].to_numpy())
-        qids = queries["rid"].to_numpy()
-        sims = q @ m.T
-        kk = min(k + 1, m.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        mcells = members["cell"].to_numpy()
         rows = {"qid": [], "nid": [], "sim": []}
-        for i in range(q.shape[0]):
-            cand = part[i]
-            rows["qid"].extend([int(qids[i])] * kk)
-            rows["nid"].extend(mids[cand].tolist())
-            rows["sim"].extend(sims[i, cand].tolist())
+        # chunk queries so the (chunk x n_probe x members) probe mask and
+        # the sim matrix stay bounded regardless of group size
+        for s in range(0, len(queries), 1024):
+            sub = queries.iloc[s : s + 1024]
+            q = np.stack(sub["vec"].to_numpy())
+            qids = sub["rid"].to_numpy()
+            probes = np.stack(sub["probes"].to_numpy())
+            sims = q @ m.T
+            # IVF semantics: only members of this query's probed cells
+            allowed = (probes[:, :, None] == mcells[None, None, :]).any(axis=1)
+            sims = np.where(allowed, sims, -np.inf)
+            kk = min(k + 1, m.shape[0])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for i in range(q.shape[0]):
+                cand = part[i][np.isfinite(sims[i, part[i]])]
+                rows["qid"].extend([int(qids[i])] * cand.size)
+                rows["nid"].extend(mids[cand].tolist())
+                rows["sim"].extend(sims[i, cand].tolist())
         out = pd.DataFrame(rows).astype(
             {"qid": "int64", "nid": "int64", "sim": "float64"}
         )
         out["qpart"] = (out["qid"] % _NPARTS).astype("int64")
         return out
 
-    def cell_wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        return cell_topk(df.drop(columns=["cell"]))
+    def super_wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return super_topk(df.drop(columns=["super"]))
 
-    cell_wrapper.__name__ = "cell_topk"
-    partials = routed.groupby("cell").map_groups(
-        cell_wrapper, batch_format="pandas"
+    super_wrapper.__name__ = "super_topk"
+    partials = routed.groupby("super").map_groups(
+        super_wrapper, batch_format="pandas"
     )
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:

@@ -559,3 +559,40 @@ def test_minhash_lsh_recall_is_exact_on_gate_corpus():
         if len(v) >= 2:
             cands.update(itertools.combinations(v, 2))
     assert exact <= cands, f"LSH missed {sorted(exact - cands)[:5]}"
+
+
+def test_ann_ivf_routing_replication_factor():
+    """The routed dataset must carry well under (1 + n_probe)x the
+    embedding table: the member row doubles as the query in its own
+    supercell, and extra query copies go only to DISTINCT other probe
+    supercells. This corpus is uniform-random (the adversarial case —
+    no probe locality); clustered real corpora approach 1x."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.datapipe.similarity import (
+        _kmeans,
+        supercell_assign,
+        unit_rows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack([np.asarray(x, np.float64) for x in tbl["embedding"].to_pylist()])
+    # identical construction to q_ann_ivf (full corpus fits sample_cap here)
+    cent = _kmeans(unit_rows(emb[np.argsort(ids)]), 16, seed=7)
+    csuper = supercell_assign(cent, 4)
+    u = unit_rows(emb)
+    n_probe = 4
+    scores = u @ cent.T
+    m_super = csuper[scores.argmax(axis=1)]
+    q_cells = np.argsort(-scores, axis=1)[:, :n_probe]
+    q_supers = csuper[q_cells]
+    extra = np.array(
+        [np.setdiff1d(r, [own]).size for r, own in zip(q_supers, m_super)]
+    )
+    routed_rows = ids.size + int(extra.sum())  # members once + query copies
+    factor = routed_rows / ids.size
+    assert factor < n_probe, f"routing replication {factor:.2f}x"
+    # sanity: naive per-cell routing would be exactly 1 + n_probe
+    assert factor < 0.75 * (1 + n_probe)
