@@ -415,8 +415,12 @@ def q_tier_blocks(sf_dir: str):
 
 
 def q_tier_block_sizes(sf_dir: str):
-    """Compression accounting per tier block (raw vs Gorilla/DoD-encoded
-    bytes; rows-only — codec output is pinned by round-trip tests)."""
+    """Raw-side compression accounting per tier block. ``raw_bytes`` is a
+    pure function of the gap-filled point count (8 bytes x (1 timestamp +
+    len(EncodeConfig.columns) values) per point), so this side is
+    oracle-exact against the dense-grid SQL twin; the codec-dependent
+    encoded size lives in ``q_tier_block_enc`` (rows-only, pinned by
+    round-trip tests)."""
     blocks = _tier_block_ds(sf_dir)
 
     def project(b: pa.Table) -> pa.Table:
@@ -426,6 +430,24 @@ def q_tier_block_sizes(sf_dir: str):
                 "tier": b["tier"],
                 "block_start_us": pc.cast(b["block_start"], pa.int64()),
                 "raw_bytes": b["raw_bytes"],
+            }
+        )
+
+    return blocks.map_batches(project, batch_format="pyarrow")
+
+
+def q_tier_block_enc(sf_dir: str):
+    """Encoded-side compression accounting (Gorilla/DoD output bytes per
+    tier block; rows-only — codec byte counts are pinned by the codec
+    round-trip and golden tests, not SQL-expressible)."""
+    blocks = _tier_block_ds(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "tier": b["tier"],
+                "block_start_us": pc.cast(b["block_start"], pa.int64()),
                 "enc_bytes": b["enc_bytes"],
             }
         )
@@ -1670,6 +1692,7 @@ QUERIES = {
     "transcript_rollup": q_transcript_rollup,
     "tier_blocks": q_tier_blocks,
     "tier_block_sizes": q_tier_block_sizes,
+    "tier_block_enc": q_tier_block_enc,
     "stationary_signals": q_stationary_signals,
     "sampen_optimized": q_sampen_optimized,
     "sampen_efficiency": q_sampen_efficiency,
@@ -1843,6 +1866,14 @@ FROM scored GROUP BY text
 
 ORACLE_SQL = {
     "minhash_neardup": _minhash_sql(),
+    # raw_bytes = 8 B x (1 ts + n value columns) per gap-filled point;
+    # the multiplier is GENERATED from EncodeConfig so SQL cannot drift
+    "tier_block_sizes": f"""
+SELECT conv_id, tier, block_start_us,
+       CAST(n_points * 8 * {1 + len(EncodeConfig().columns)} AS BIGINT)
+         AS raw_bytes
+FROM ({_TIER_BLOCKS_SQL})
+""",
     "clean_corpus": _clean_corpus_sql(),
     "langid": _langid_sql(),
     "tier_blocks": _TIER_BLOCKS_SQL,
