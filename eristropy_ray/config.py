@@ -40,6 +40,12 @@ class RollupConfig:
            preprocessing, stationarity.py:237-241); "none" uses raw values.
         num_partitions: hash-bucket count for the bucketed execution mode
            (0 = derive from data size / CPU count at run time).
+        lateness_us: allowed lateness for the (conversation, day)-local
+           watermark — turns older than (max ts in their conv-day) minus
+           this are dropped before windowing. None (default) accepts
+           everything. Day-local so every physical plan (colocated,
+           day-salted bucketed, window_groups) evaluates it identically;
+           see stages/windows.rollup_windows.
     """
 
     tiers: tuple[str, ...] = ("1m", "1h", "1d")
@@ -50,11 +56,14 @@ class RollupConfig:
     max_window_points: int = 2048
     preprocess: str = "difference"
     num_partitions: int = 0
+    lateness_us: int | None = None
 
     def __post_init__(self) -> None:
         for tier in self.tiers:
             if tier not in TIER_STEPS_US:
                 raise ValueError(f"unknown tier {tier!r}")
+        if self.lateness_us is not None and self.lateness_us < 0:
+            raise ValueError("lateness_us must be >= 0 (or None to accept all)")
         if self.m < 1:
             raise ValueError("m must be >= 1")
         if not 0 < self.r_frac:

@@ -158,7 +158,18 @@ def rollup_windows(
     given turns. Input order is irrelevant; output is ordered by
     (tier, conv, bucket). Null conv_ids are dropped (groupby dropna
     semantics — factorize's -1 code would merge them into one synthetic
-    conversation)."""
+    conversation).
+
+    Late-data policy (``cfg.lateness_us`` not None): turns older than the
+    (conversation, day) watermark — the max ts seen in that conv-day
+    minus the allowed lateness — are dropped before windowing. The
+    watermark is deliberately (conv, DAY)-local, not conv-global: the
+    bucketed execution mode groups by day-salted conversation keys, so a
+    day-local rule is the strongest one every physical plan (colocated,
+    bucketed, window_groups) can evaluate identically — and it is
+    order-independent, the batch analogue of the streaming operator's
+    end-state watermark (q_streaming_window's per-arrival drop).
+    """
     valid = pd.notna(conv_id)
     if not valid.all():
         conv_id = conv_id[valid]
@@ -176,6 +187,22 @@ def rollup_windows(
     ts_us = ts_us[order]
     v = value[order]
     uniques = np.asarray(uniques, dtype=object)
+
+    if cfg.lateness_us is not None and codes.size:
+        day_us = TIER_STEPS_US["1d"]
+        day = np.floor_divide(ts_us, day_us)
+        seg = np.empty(codes.size, dtype=bool)
+        seg[0] = True
+        np.logical_or(
+            codes[1:] != codes[:-1], day[1:] != day[:-1], out=seg[1:]
+        )
+        seg_starts = np.flatnonzero(seg)
+        seg_ends = np.append(seg_starts[1:], codes.size)
+        # rows are ts-sorted within (conv, day): segment max = last row
+        wm = ts_us[seg_ends - 1] - cfg.lateness_us
+        keep = ts_us >= np.repeat(wm, seg_ends - seg_starts)
+        if not keep.all():
+            codes, ts_us, v = codes[keep], ts_us[keep], v[keep]
 
     out: dict[str, list[np.ndarray]] = {name: [] for name in ROLLUP_COLUMNS}
     for tier in cfg.tiers:

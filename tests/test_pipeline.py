@@ -356,3 +356,67 @@ def test_streaming_window_late_path_fires(ray_session):
     # a window that lost events to lateness still reports its survivors
     lossy = out[out["n_late"] > 0]
     assert len(lossy) > 0
+
+
+def test_late_data_policy_modes_agree(ray_session, tmp_path):
+    """cfg.lateness_us: the (conv, day)-local watermark drops late turns
+    identically in every physical plan, under shuffled arrival order."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eristropy_ray.config import TIER_STEPS_US
+    from eristropy_ray.pipelines.rollup import (
+        TRANSCRIPT_READ_COLUMNS,
+        rollup_dataset,
+        rollup_files_colocated,
+    )
+
+    day = TIER_STEPS_US["1d"]
+    hour = TIER_STEPS_US["1h"]
+    rng = np.random.default_rng(23)
+    rows = []
+    for conv in ("c0", "c1"):
+        base = day if conv == "c1" else 0
+        # a conv-day whose max ts is base+20h; turns at 1h..20h
+        for i in range(20):
+            rows.append((conv, i, "t" * (i % 7 + 1), base + (i + 1) * hour))
+        # second day for c0: exercises day-locality of the watermark
+        if conv == "c0":
+            for i in range(5):
+                rows.append((conv, 100 + i, "x" * 3, base + day + (i + 1) * hour))
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    perm = rng.permutation(t.num_rows)  # shuffled arrival
+    t = t.take(perm)
+    f = tmp_path / "late_tx.parquet"
+    pq.write_table(t, f)
+
+    cfg = RollupConfig(lateness_us=6 * hour)
+    a = _sorted_rollup(rollup_files_colocated([str(f)], cfg))
+    ds = rd.read_parquet(str(f), columns=TRANSCRIPT_READ_COLUMNS)
+    b = _sorted_rollup(rollup_dataset(ds, cfg, mode="bucketed"))
+    c = _sorted_rollup(rollup_dataset(ds, cfg, mode="window_groups"))
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+
+    # manual expectation: day-1 of c0 keeps ts >= 20h - 6h = 14h
+    h1 = a[(a.conv_id == "c0") & (a.tier == "1h")]
+    kept_buckets = sorted(h1["bucket_ts"].astype("int64") // hour)
+    assert kept_buckets == [14, 15, 16, 17, 18, 19, 20, 25, 26, 27, 28, 29]
+    # no policy -> everything kept
+    full = _sorted_rollup(rollup_files_colocated([str(f)], RollupConfig()))
+    f1 = full[(full.conv_id == "c0") & (full.tier == "1h")]
+    assert len(f1) == 25
+    with pytest.raises(ValueError):
+        RollupConfig(lateness_us=-1)
