@@ -148,6 +148,67 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer (8-bit, gray/GA/RGB/RGBA): the inverse of
+    ``decode_png``, applying the requested filter type per scanline.
+    Used by round-trip tests and the deterministic payload synthesizer
+    (``q_multimodal_features``) — NOT an optimizing encoder."""
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.uint8)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            filt = line - left
+        elif f == 2:  # Up
+            filt = line - prev
+        elif f == 3:  # Average
+            filt = line - (
+                (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        elif f == 4:  # Paeth
+            upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
+            filt = line - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        raw.extend(filt.tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM WAV writer (inverse of ``decode_wav``)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def real_features(payload: bytes, fmt: str, dim: int = 8) -> np.ndarray:
     """Deterministic content features from a DECODED payload: the moment
     vector (mean, std, min, max, q25, q50, q75, n/1e6) of the sample or

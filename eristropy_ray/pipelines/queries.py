@@ -1095,6 +1095,71 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def q_multimodal_features(sf_dir: str):
+    """Multimodal decode pipeline over binary payload columns (rows-only:
+    zlib/codec byte streams are not SQL-expressible).
+
+    Payloads are synthesized DETERMINISTICALLY from the documents table
+    (text bytes become PNG pixels / WAV samples; every 7th doc gets an
+    undecodable JPEG-magic payload to exercise per-row degradation), then
+    decoded for real by the stdlib decoders behind an actor-pool
+    ``map_batches`` stage — the exact shape a production image/audio
+    feature-extraction stage has (per-actor setup, small batches for wide
+    binary rows, typed metadata out)."""
+    from eristropy_ray.datapipe.media import encode_png, encode_wav
+    from eristropy_ray.datapipe.multimodal import BinaryFeatureStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def synthesize(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        payloads = []
+        for did, text in zip(ids, b["text"].to_pylist()):
+            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            data = data[:256] if data.size else np.zeros(1, np.uint8)
+            if did % 7 == 0:  # undecodable: JPEG magic, no decoder
+                payloads.append(b"\xff\xd8\xff" + data.tobytes())
+            elif did % 2 == 0:  # image: pad to a W x 8 gray raster
+                w = 8
+                n = max((data.size + w - 1) // w, 1) * w
+                px = np.zeros(n, np.uint8)
+                px[: data.size] = data
+                payloads.append(
+                    encode_png(px.reshape(-1, w, 1), filters=[0, 1, 2, 3, 4])
+                )
+            else:  # audio: bytes as centered 16-bit samples
+                samples = (data.astype(np.int64) - 128) * 256
+                payloads.append(encode_wav(samples.reshape(-1, 1)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    feats = ds.map_batches(synthesize, batch_format="pyarrow").map_batches(
+        BinaryFeatureStage(extractor="real"),
+        batch_format="pyarrow",
+        batch_size=128,  # small: payload rows are wide
+        concurrency=4,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        first = pc.list_element(emb, 0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "format": b["format"],
+                "n_bytes": b["n_bytes"],
+                "decode_ok": b["decode_ok"],
+                "feat_mean": pc.round(first, ndigits=6),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
     """End-to-end corpus cleaning composition — the pipeline shape a
     training-data user actually runs: length/quality filter -> exact
@@ -1705,6 +1770,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
+    "multimodal_features": q_multimodal_features,
     "clean_corpus": q_clean_corpus,
     "hopping_window": q_hopping_window,
     "streaming_window": q_streaming_window,

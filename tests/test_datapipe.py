@@ -165,66 +165,8 @@ def test_multimodal_stage(ray_session):
     np.testing.assert_array_equal(emb[0], fake_embedding(payloads[0]))
 
 
-def _encode_png(pixels: np.ndarray, filters: list[int]) -> bytes:
-    """Minimal PNG writer for round-trip tests: applies the REQUESTED
-    filter type per scanline (exercising every decoder filter path),
-    8-bit depth, gray/RGB/RGBA by channel count."""
-    import struct
-    import zlib
-
-    h, w, ch = pixels.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        line = pixels[y].reshape(-1).astype(np.uint8)
-        f = filters[y % len(filters)]
-        raw.append(f)
-        if f == 0:
-            filt = line
-        elif f == 1:  # Sub
-            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
-            filt = line - left
-        elif f == 2:  # Up
-            filt = line - prev
-        elif f == 3:  # Average
-            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
-            filt = line - ((left.astype(np.int16) + prev.astype(np.int16)) // 2).astype(np.uint8)
-        else:  # Paeth
-            from eristropy_ray.datapipe.media import _paeth
-
-            left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
-            upleft = np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]])
-            filt = line - _paeth(left, prev, upleft)
-        raw.extend(filt.tobytes())
-        prev = line
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + ctype + data
-            + struct.pack(">I", zlib.crc32(ctype + data))
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
-
-
-def _encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
-    import io
-    import wave
-
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(samples.shape[1])
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes(samples.astype("<i2").tobytes())
-    return buf.getvalue()
+from eristropy_ray.datapipe.media import encode_png as _encode_png  # noqa: E402
+from eristropy_ray.datapipe.media import encode_wav as _encode_wav  # noqa: E402
 
 
 def test_png_roundtrip_all_filters():
