@@ -1442,6 +1442,27 @@ def q_distinct_users_approx(sf_dir: str, p: int = 12):
     )
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10) by multiplicative
+    id hash — the reproducible split every training-data pipeline needs.
+    Pure int64 arithmetic on both engines, so the SQL twin is exact; at
+    100 TB this is a stateless map with no shuffle at all."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        h = (ids * 2654435761) % 1000000007 % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_sample_events(sf_dir: str):
     """Deterministic systematic sample (the reproducible analogue of
     random_sample; exact SQL oracle)."""
@@ -1796,6 +1817,7 @@ QUERIES = {
     "streaming_window": q_streaming_window,
     "distinct_users": q_distinct_users,
     "distinct_users_approx": q_distinct_users_approx,
+    "dataset_split": q_dataset_split,
     "sample_events": q_sample_events,
     "top_users": q_top_users,
     "orders_by_segment": q_orders_by_segment,
@@ -2156,6 +2178,13 @@ FROM events
     "sample_events": """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
 FROM events WHERE event_id & 15 = 3
+""",
+    "dataset_split": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+            WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """,
     "top_users": """
 SELECT user_id, COUNT(*) AS n_obs FROM events

@@ -5,7 +5,7 @@ The engine's input shape (BASELINE.json.input_hint):
     conv_id:string, turn_idx:int32, role:string, text:string,
     tool:string, ts:timestamp[us]
 
-Three sources:
+Four sources:
 
 - ``synthesize_transcripts``: deterministic multi-file Parquet generator
   (FIXTURES.md layer B). Per conversation, turn count and message-length
@@ -25,6 +25,10 @@ Three sources:
 - ``fixture_transcripts``: the reference test fixtures (FIXTURES.md layer
   A) embedded as conversations whose ``len(text)`` recovers a scaled copy
   of each fixture series.
+
+- ``read_transcripts_jsonl``: JSONL ingest (ts as epoch-µs int64),
+  normalized to the same schema; rollup-equivalence with the parquet
+  path is pinned in tests.
 """
 
 from __future__ import annotations
@@ -222,3 +226,34 @@ def fixture_transcripts() -> pa.Table:
             )
         )
     return pa.concat_tables(parts)
+
+
+def read_transcripts_jsonl(paths: list[str] | str):
+    """Transcript table from JSONL files (a second ingest format).
+
+    JSON has no timestamp or fixed-width integer types, so the contract
+    for JSONL shipments is ``ts`` as int64 epoch-microseconds; this
+    reader normalizes every column back to ``TRANSCRIPT_SCHEMA`` types
+    (int64 turn_idx — the target-volume width). Distributed read via
+    ``ray.data.read_json`` (one task per file / block, same streaming
+    properties as the parquet source); equivalence with the parquet path
+    is pinned in tests/test_pipeline.py.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pc.cast(b["conv_id"], pa.string()),
+                "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+                "role": pc.cast(b["role"], pa.string()),
+                "text": pc.cast(pc.fill_null(b["text"], ""), pa.string()),
+                "tool": pc.cast(pc.fill_null(b["tool"], ""), pa.string()),
+                "ts": pc.cast(b["ts"], pa.timestamp("us")),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -420,3 +420,38 @@ def test_late_data_policy_modes_agree(ray_session, tmp_path):
     assert len(f1) == 25
     with pytest.raises(ValueError):
         RollupConfig(lateness_us=-1)
+
+
+def test_jsonl_source_matches_parquet(ray_session, tmp_path):
+    """The JSONL ingest path produces byte-identical rollups to parquet."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eristropy_ray.pipelines.rollup import rollup_dataset
+    from eristropy_ray.sources.transcripts import (
+        fixture_transcripts,
+        read_transcripts_jsonl,
+    )
+
+    t = fixture_transcripts()
+    df = t.to_pandas()
+    df["ts"] = df["ts"].astype("int64")  # JSONL contract: epoch-µs int64
+    half = len(df) // 2
+    for i, part in enumerate((df.iloc[:half], df.iloc[half:])):
+        with open(tmp_path / f"tx_{i}.jsonl", "w") as f:
+            for rec in part.to_dict(orient="records"):
+                f.write(json.dumps(rec) + "\n")
+
+    cfg = RollupConfig()
+    a = _sorted_rollup(rollup_dataset(rd.from_arrow(t), cfg))
+    b = _sorted_rollup(
+        rollup_dataset(
+            read_transcripts_jsonl(
+                [str(tmp_path / "tx_0.jsonl"), str(tmp_path / "tx_1.jsonl")]
+            ),
+            cfg,
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
