@@ -1115,6 +1115,56 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def q_vocab_topk(sf_dir: str, k: int = 50):
+    """Corpus vocabulary: top-k words by total frequency (count desc, word
+    asc). The classic wordcount shape with the scalable pre-aggregation:
+    per-batch word counts collapse each batch to its distinct words
+    BEFORE the shuffle, so the exchange carries (word, partial-count)
+    rows, not one row per token. Exact SQL twin via unnest."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.findall(_WS_TOKEN_PAT).explode().dropna()
+        g = words.value_counts()
+        return pd.DataFrame({"word": g.index.astype(str), "n": g.to_numpy()})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("word").aggregate(Sum("n", alias_name="n"))
+    top = agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"word": b["word"], "n": pc.cast(b["n"], pa.int64())}
+        )
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+# RE2-compatible patterns shared verbatim with the SQL twins (explicit
+# ASCII whitespace class; no lookahead)
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_URL_PAT = r"https?://[^ \t\n\f\r]+"
+
+
+def q_pii_counts(sf_dir: str):
+    """Per-document PII-ish pattern counts (emails, URLs) — the redaction
+    pre-scan of a training-data pipeline. One stateless vectorized pass
+    (compiled regex, no shuffle); the SQL twin runs the IDENTICAL RE2
+    patterns, generated from the same constants."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_emails": df["text"].str.count(_EMAIL_PAT).astype("int64"),
+                "n_urls": df["text"].str.count(_URL_PAT).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal decode pipeline over binary payload columns (rows-only:
     zlib/codec byte streams are not SQL-expressible).
@@ -1811,6 +1861,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
+    "vocab_topk": q_vocab_topk,
+    "pii_counts": q_pii_counts,
     "multimodal_features": q_multimodal_features,
     "clean_corpus": q_clean_corpus,
     "hopping_window": q_hopping_window,
@@ -2178,6 +2230,20 @@ FROM events
     "sample_events": """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
 FROM events WHERE event_id & 15 = 3
+""",
+    "vocab_topk": f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, {_sql_regex(_WS_TOKEN_PAT)})) AS word
+      FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+""",
+    "pii_counts": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, {_sql_regex(_EMAIL_PAT)})) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, {_sql_regex(_URL_PAT)})) AS BIGINT)
+         AS n_urls
+FROM documents
 """,
     "dataset_split": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
