@@ -999,6 +999,158 @@ def q_ann_ivf(
     )
 
 
+def q_embedding_neardup_ivf(
+    sf_dir: str,
+    tau: float = 0.45,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    sample_cap: int = 4096,
+    n_super: int | None = None,
+):
+    """Embedding-cosine near-dup pairs via IVF cell bucketing — the SCALE
+    path of ``q_embedding_neardup`` (its all-pairs exactness twin): a
+    pair is a candidate iff one side's member cell is among the other
+    side's ``n_probe`` probe cells, so per-group work is ~n²/n_cells
+    instead of n² and nothing is broadcast. Same supercell routing as
+    ``q_ann_ivf`` (member row doubles as its own-group query). Emits
+    (vec_a, vec_b) id pairs; recall vs the exact pair set is asserted in
+    tests/test_datapipe.py (rows-only: candidate coverage is
+    data-dependent, the exactness baseline is the oracle's job).
+    ``n_probe`` defaults to 8 (vs 4 for top-k search): a near-dup pair
+    at a LOW tau can sit far from both its cell centroids, so near-dup
+    bucketing needs wider probing — 8/16 cells recovers the full exact
+    pair set on both test corpora while still halving the work."""
+    import ray
+
+    from eristropy_ray.datapipe.similarity import (
+        _kmeans,
+        supercell_assign,
+        unit_rows,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n_total = emb.count()
+    stride = 1
+    while n_total // stride > sample_cap:
+        stride *= 2
+
+    def sample_mask(b: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(b["vec_id"], np.int64(stride - 1)), np.int64(0)
+        )
+        return b.filter(keep)
+
+    sample_tbl = pa.Table.from_pandas(
+        emb.map_batches(sample_mask, batch_format="pyarrow")
+        .limit(sample_cap)
+        .to_pandas()
+    )
+    s_ids = sample_tbl["vec_id"].to_numpy()
+    order = np.argsort(s_ids)
+    s_vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"].to_pylist()]
+    )[order]
+    centroids = _kmeans(unit_rows(s_vecs), n_cells, seed=7)
+    if n_super is None:
+        n_super = max(2, n_cells // 4)
+    cell_super = supercell_assign(centroids, n_super)
+    cref = ray.put((centroids, cell_super))
+
+    def assign_and_route(b: pa.Table) -> pa.Table:
+        c, csuper = ray.get(cref)
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        lst = b["embedding"].combine_chunks()
+        flat = np.asarray(lst.values, dtype=np.float64)
+        d = flat.size // len(ids) if len(ids) else 0
+        u = unit_rows(flat.reshape(len(ids), d))
+        scores = u @ c.T
+        m_cell = scores.argmax(axis=1).astype(np.int64)
+        q_cells = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int64)
+        m_super = csuper[m_cell]
+        q_supers = np.sort(csuper[q_cells], axis=1)
+        first = np.ones_like(q_supers, dtype=bool)
+        first[:, 1:] = q_supers[:, 1:] != q_supers[:, :-1]
+        first &= q_supers != m_super[:, None]
+        qi, qj = np.nonzero(first)
+        supercell = np.concatenate([m_super, q_supers[qi, qj]])
+        role = np.concatenate(
+            [np.zeros(ids.size, np.int64), np.ones(qi.size, np.int64)]
+        )
+        rid = np.concatenate([ids, ids[qi]])
+        vecs = np.concatenate([u, u[qi]])
+        cell = np.concatenate([m_cell, np.full(qi.size, -1, np.int64)])
+        probes = np.concatenate([q_cells, q_cells[qi]])
+        return pa.table(
+            {
+                "super": pa.array(supercell, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "role": pa.array(role, pa.int64()),
+                "rid": pa.array(rid, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1), pa.float64()), d
+                ),
+                "probes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probes.reshape(-1), pa.int64()), n_probe
+                ),
+            }
+        )
+
+    routed = emb.map_batches(assign_and_route, batch_format="pyarrow")
+
+    def super_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "part": pd.Series(dtype="int64")}
+        )
+        members = df[df["role"] == 0]
+        if members.empty:
+            return empty
+        m = np.stack(members["vec"].to_numpy())
+        mids = members["rid"].to_numpy()
+        mcells = members["cell"].to_numpy()
+        rows_a: list[np.ndarray] = []
+        rows_b: list[np.ndarray] = []
+        for s in range(0, len(df), 1024):
+            sub = df.iloc[s : s + 1024]
+            q = np.stack(sub["vec"].to_numpy())
+            qids = sub["rid"].to_numpy()
+            probes = np.stack(sub["probes"].to_numpy())
+            sims = q @ m.T
+            allowed = (probes[:, :, None] == mcells[None, None, :]).any(axis=1)
+            hit = (sims >= tau) & allowed & (qids[:, None] != mids[None, :])
+            qi, mi = np.nonzero(hit)
+            a = np.minimum(qids[qi], mids[mi])
+            b2 = np.maximum(qids[qi], mids[mi])
+            rows_a.append(a)
+            rows_b.append(b2)
+        if not rows_a:
+            return empty
+        a = np.concatenate(rows_a)
+        b2 = np.concatenate(rows_b)
+        out = pd.DataFrame({"vec_a": a, "vec_b": b2}).drop_duplicates()
+        out["part"] = (out["vec_a"] % _NPARTS).astype("int64")
+        return out.astype({"vec_a": "int64", "vec_b": "int64", "part": "int64"})
+
+    def pair_wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return super_pairs(df.drop(columns=["super"]))
+
+    pair_wrapper.__name__ = "super_pairs"
+    pairs = routed.groupby("super").map_groups(pair_wrapper, batch_format="pandas")
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair can surface from both sides' probes / several supercells
+        return (
+            df.drop(columns=["part"])
+            .drop_duplicates(["vec_a", "vec_b"])
+            .astype({"vec_a": "int64", "vec_b": "int64"})
+        )
+
+    return pairs.groupby("part").map_groups(dedupe, batch_format="pandas")
+
+
 def q_embedding_neardup(sf_dir: str, tau: float = 0.45):
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline vs
     a broadcast unit matrix — same labeled pattern as q_knn_all; the scale
@@ -1859,6 +2011,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_ivf": q_embedding_neardup_ivf,
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
     "vocab_topk": q_vocab_topk,

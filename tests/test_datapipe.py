@@ -538,3 +538,22 @@ def test_ann_ivf_routing_replication_factor():
     assert factor < n_probe, f"routing replication {factor:.2f}x"
     # sanity: naive per-cell routing would be exactly 1 + n_probe
     assert factor < 0.75 * (1 + n_probe)
+
+
+def test_embedding_neardup_ivf_recall(ray_session):
+    """The IVF-bucketed near-dup scale path recovers the exact pair set
+    on the gate corpus (every planted near-dup pair shares a probed
+    cell), and emits no pair below tau."""
+    from eristropy_ray.pipelines.queries import (
+        q_embedding_neardup,
+        q_embedding_neardup_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_embedding_neardup(sf)
+    exact = exact if isinstance(exact, pd.DataFrame) else exact.to_pandas()
+    got = q_embedding_neardup_ivf(sf).to_pandas()
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    g = set(zip(got["vec_a"], got["vec_b"]))
+    assert e <= g, f"missed {sorted(e - g)[:5]}"
+    assert g == e, f"extra pairs below tau? {sorted(g - e)[:5]}"
