@@ -1644,6 +1644,42 @@ def q_distinct_users_approx(sf_dir: str, p: int = 12):
     )
 
 
+def q_group_cap(sf_dir: str, k: int = 3):
+    """First-k-per-group cap (earliest k events per user by (ts, id)) —
+    the "at most N documents per domain/source" diversity cap of a
+    training-data pipeline. One hash shuffle, then a vectorized
+    rank-and-filter per partition; exact row_number SQL twin."""
+    ds = _events_signals(sf_dir)
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        sid = df["signal_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        tie = df["tie"].to_numpy()
+        order = np.lexsort((tie, ts, sid))
+        sid, ts, tie = sid[order], ts[order], tie[order]
+        v = df["value"].to_numpy()[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sid[1:] != sid[:-1]))
+        )
+        seg_len = np.diff(np.append(starts, sid.size))
+        rank = np.arange(sid.size) - np.repeat(starts, seg_len)
+        keep = rank < k
+        return pd.DataFrame(
+            {
+                "signal_id": sid[keep],
+                "ts_us": ts[keep],
+                "event_id": tie[keep],
+                "value": v[keep],
+            }
+        )
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return cap(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "group_cap"
+    return ds.groupby("part").map_groups(wrapper, batch_format="pandas")
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val/test assignment (80/10/10) by multiplicative
     id hash — the reproducible split every training-data pipeline needs.
@@ -2022,6 +2058,7 @@ QUERIES = {
     "streaming_window": q_streaming_window,
     "distinct_users": q_distinct_users,
     "distinct_users_approx": q_distinct_users_approx,
+    "group_cap": q_group_cap,
     "dataset_split": q_dataset_split,
     "sample_events": q_sample_events,
     "top_users": q_top_users,
@@ -2397,6 +2434,14 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, {_sql_regex(_URL_PAT)})) AS BIGINT)
          AS n_urls
 FROM documents
+""",
+    "group_cap": """
+SELECT signal_id, ts_us, event_id, value FROM (
+  SELECT user_id AS signal_id, epoch_us(ts) AS ts_us,
+         CAST(event_id AS BIGINT) AS event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
 """,
     "dataset_split": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
