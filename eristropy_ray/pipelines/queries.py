@@ -1282,7 +1282,21 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     agg = partials.groupby("word").aggregate(Sum("n", alias_name="n"))
-    top = agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+    # per-block top-k then a tiny final sort: each word's total is
+    # complete within one aggregate block (groupby co-locates keys), so
+    # top-k of per-block top-ks is exact — no all-to-all sort of the
+    # full vocabulary (word cardinality is corpus-scale at 100 TB)
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    top = (
+        agg.map_batches(block_topk, batch_format="pandas")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -45,3 +45,23 @@ def test_dod_monotone_streams(start, deltas):
     t = start + np.cumsum(np.array([0, *deltas], dtype=np.int64))
     got = dod_decode(dod_encode(t))
     np.testing.assert_array_equal(t, got)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """decode(encode(px)) == px for arbitrary shapes, channels and
+    per-row filter choices (the filter list cycles over the rows)."""
+    import numpy as np
+
+    from eristropy_ray.datapipe.media import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    filters = rng.integers(0, 5, size=min(h, 5)).tolist()
+    np.testing.assert_array_equal(decode_png(encode_png(px, filters)), px)
