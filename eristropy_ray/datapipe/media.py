@@ -82,29 +82,34 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = height = None
     channels = None
     idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color not in _PNG_CHANNELS:
-                raise ValueError(f"unsupported PNG color type {color}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
-            channels = _PNG_CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if width is None or channels is None:
-        raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    # truncated/corrupt chunk streams raise struct.error / zlib.error —
+    # normalize to ValueError so callers' per-row degradation works
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if depth != 8:
+                    raise ValueError(f"unsupported PNG bit depth {depth}")
+                if color not in _PNG_CHANNELS:
+                    raise ValueError(f"unsupported PNG color type {color}")
+                if interlace != 0:
+                    raise ValueError("interlaced PNG unsupported")
+                channels = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if width is None or channels is None:
+            raise ValueError("PNG missing IHDR")
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"corrupt PNG stream: {exc}") from exc
     stride = width * channels
     if raw.size != height * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")

@@ -557,3 +557,36 @@ def test_embedding_neardup_ivf_recall(ray_session):
     g = set(zip(got["vec_a"], got["vec_b"]))
     assert e <= g, f"missed {sorted(e - g)[:5]}"
     assert g == e, f"extra pairs below tau? {sorted(g - e)[:5]}"
+
+
+def test_corrupt_png_degrades_not_crashes():
+    """A payload with a valid PNG magic but corrupt chunk/zlib stream
+    must degrade per row (decode_ok=False), never crash the stage."""
+    from eristropy_ray.datapipe.media import decode_png
+    from eristropy_ray.datapipe.multimodal import FrameSampleStage
+
+    good = _encode_png(np.zeros((4, 4, 1), dtype=np.uint8), filters=[0])
+    idat_off = good.index(b"IDAT") + 4
+    corrupt = [
+        good[:20],                       # truncated mid-IHDR
+        good[:40] + b"\x00" * 10,        # truncated/garbled IDAT
+        # flipped byte inside the zlib stream (adler checksum fails)
+        good[: idat_off + 2]
+        + bytes([good[idat_off + 2] ^ 0xFF])
+        + good[idat_off + 3 :],
+    ]
+    for p in corrupt:
+        with pytest.raises(ValueError):
+            decode_png(p)
+    stage = BinaryFeatureStage(extractor="real")
+    out = stage(
+        pa.table(
+            {"payload": pa.array([good] + corrupt, pa.binary())}
+        )
+    )
+    assert out["decode_ok"].to_pylist()[0] is True
+    assert out["decode_ok"].to_pylist()[1:] == [False, False, False]
+    fr = FrameSampleStage(n_frames=2, frame_bytes=4, decoder="real")(
+        pa.table({"payload": pa.array(corrupt, pa.binary())})
+    )
+    assert all(f == b"" for f in fr["frame"].to_pylist())
