@@ -385,6 +385,38 @@ def q_transcript_rollup(sf_dir: str):
     return rollup_dataset(turns, RollupConfig())
 
 
+def q_transcript_rollup_stats(sf_dir: str):
+    """SQL-expressible face of the flagship rollup: the SAME
+    rollup_dataset pipeline as ``transcript_rollup``, projected to its
+    stats columns. value = utf8 length of text is integer-valued, so the
+    float64 sums are exact and the mean is the identical division on
+    both engines — this pins the flagship's windowing, bucketing and
+    stats hash-exactly (the entropy columns stay pytest-pinned in
+    ``transcript_rollup``)."""
+    from eristropy_ray.pipelines.rollup import rollup_dataset
+    from eristropy_ray.sources.transcripts import events_to_transcripts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    turns = ds.map_batches(events_to_transcripts, batch_format="pyarrow")
+    rollup = rollup_dataset(turns, RollupConfig())
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "tier": b["tier"],
+                "bucket_us": pc.cast(b["bucket_ts"], pa.int64()),
+                "n_turns": pc.cast(b["n_turns"], pa.int64()),
+                "value_sum": b["value_sum"],
+                "value_min": b["value_min"],
+                "value_max": b["value_max"],
+                "value_mean": b["value_mean"],
+            }
+        )
+
+    return rollup.map_batches(project, batch_format="pyarrow")
+
+
 def _tier_block_ds(sf_dir: str):
     from eristropy_ray.pipelines.rollup import encode_dataset, rollup_dataset
     from eristropy_ray.sources.transcripts import events_to_transcripts
@@ -2048,6 +2080,7 @@ QUERIES = {
     "sampen_per_signal": q_sampen_per_signal,
     "adf_stationarity": q_adf_stationarity,
     "transcript_rollup": q_transcript_rollup,
+    "transcript_rollup_stats": q_transcript_rollup_stats,
     "tier_blocks": q_tier_blocks,
     "tier_block_sizes": q_tier_block_sizes,
     "tier_block_enc": q_tier_block_enc,
@@ -2448,6 +2481,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, {_sql_regex(_URL_PAT)})) AS BIGINT)
          AS n_urls
 FROM documents
+""",
+    "transcript_rollup_stats": """
+WITH t(tier, step) AS (VALUES ('1m', 60000000), ('1h', 3600000000),
+                              ('1d', 86400000000)),
+e AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         length(COALESCE(props, '')) AS v,
+         epoch_us(ts) AS ts_us
+  FROM events
+)
+SELECT e.conv_id, t.tier,
+       ts_us - ((ts_us % t.step + t.step) % t.step) AS bucket_us,
+       COUNT(*) AS n_turns,
+       CAST(SUM(v) AS DOUBLE) AS value_sum,
+       CAST(MIN(v) AS DOUBLE) AS value_min,
+       CAST(MAX(v) AS DOUBLE) AS value_max,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS value_mean
+FROM e, t GROUP BY 1, 2, 3
 """,
     "group_cap": """
 SELECT signal_id, ts_us, event_id, value FROM (
