@@ -27,6 +27,9 @@ import numpy as np
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by PNG color type (palette unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# decode cap: 64M samples (~a 4096x4096 RGBA frame). Payloads declaring
+# more are treated as undecodable so one hostile row cannot OOM a worker.
+_PNG_MAX_SAMPLES = 1 << 26
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -101,13 +104,33 @@ def decode_png(payload: bytes) -> np.ndarray:
                 if interlace != 0:
                     raise ValueError("interlaced PNG unsupported")
                 channels = _PNG_CHANNELS[color]
+                if width == 0 or height == 0:
+                    raise ValueError("empty PNG (zero dimension)")
+                # cap the scanline payload too (width=0 is caught above,
+                # but the +1 filter byte per row makes height a second
+                # allocation axis)
+                if (
+                    width * height * channels > _PNG_MAX_SAMPLES
+                    or height * (width * channels + 1) > 2 * _PNG_MAX_SAMPLES
+                ):
+                    raise ValueError(
+                        f"PNG dimensions {width}x{height}x{channels} exceed "
+                        f"the {_PNG_MAX_SAMPLES}-sample decode cap"
+                    )
             elif ctype == b"IDAT":
                 idat.extend(data)
             elif ctype == b"IEND":
                 break
         if width is None or channels is None:
             raise ValueError("PNG missing IHDR")
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        # bounded inflate: never allocate past the IHDR-declared payload
+        # (a zlib bomb must degrade the row, not OOM the worker)
+        expected = height * (width * channels + 1)
+        dec = zlib.decompressobj()
+        raw_bytes = dec.decompress(bytes(idat), expected)
+        if not dec.eof and dec.unconsumed_tail:
+            raise ValueError("PNG IDAT inflates past the declared size")
+        raw = np.frombuffer(raw_bytes, dtype=np.uint8)
     except (struct.error, zlib.error) as exc:
         raise ValueError(f"corrupt PNG stream: {exc}") from exc
     stride = width * channels

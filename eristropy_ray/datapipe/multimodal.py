@@ -147,7 +147,6 @@ class FrameSampleStage:
         """Raw bytes of the decoded content (pixels row-major / PCM
         samples), or b'' when no stdlib decoder applies."""
         from eristropy_ray.datapipe.media import decode_png, decode_wav
-        from eristropy_ray.datapipe.multimodal import sniff_format
 
         fmt = sniff_format(payload)
         try:

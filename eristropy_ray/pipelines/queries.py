@@ -830,42 +830,22 @@ def q_knn_all(sf_dir: str, k: int = 5):
     return ds.map_batches(topk, batch_format="pyarrow")
 
 
-def q_ann_ivf(
+def _ivf_route(
     sf_dir: str,
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    sample_cap: int = 4096,
-    n_super: int | None = None,
-):
-    """IVF approximate nearest neighbors — distributed build AND probe.
-
-    Scale shape (no full-corpus driver read anywhere):
-      1. centroids are k-means-trained on a bounded deterministic sample
-         (vec_id stride mask, capped at ``sample_cap`` rows — the only
-         driver materialization besides the final result) and broadcast
-         once via ``ray.put``; the cells are then clustered into
-         ``n_super`` proximity supercells (``supercell_assign``);
-      2. one ``map_batches`` assigns every vector to its nearest cell
-         (role=member, shipped ONCE; the member row doubles as the query
-         in its own supercell) and ships query copies only to the OTHER
-         distinct supercells among its ``n_probe`` nearest cells, each
-         carrying its probe-cell list. The shuffle therefore carries
-         1 + E[distinct other probe supercells] times the embedding
-         table: ~2.7x on adversarial uniform-random vectors (this
-         corpus; asserted < n_probe in tests/test_datapipe.py) and
-         approaching 1x on clustered real corpora, vs a flat
-         (1 + n_probe) = 5x for naive per-cell routing;
-      3. ``groupby(super)`` computes per-supercell top-(k+1) partials,
-         masking members whose cell is not in the query's probe list
-         (IVF semantics preserved exactly — parity-tested);
-      4. ``groupby(query-hash)`` merges partials into the global top-k.
-    At cluster scale ``n_super`` rises with the node count so one
-    supercell's members fit a worker's heap; probe locality persists
-    because supercells group neighboring centroids.
-    Recall vs brute force and parity with the single-process
-    ``IVFIndex`` are asserted in tests/test_datapipe.py.
-    """
+    n_cells: int,
+    n_probe: int,
+    sample_cap: int,
+    n_super: int | None,
+) -> tuple[rd.Dataset, int]:
+    """Shared IVF build + supercell routing (used by ``q_ann_ivf`` and
+    ``q_embedding_neardup_ivf``): train centroids on a bounded
+    deterministic sample, cluster them into proximity supercells, then
+    one ``map_batches`` emits member rows (shipped once, doubling as the
+    query in their own supercell) plus query copies to the OTHER
+    distinct probe supercells, each carrying its probe-cell list.
+    Returns (routed dataset, effective n_probe) — n_probe is clamped to
+    the trained centroid count so tiny corpora / small n_cells cannot
+    produce ragged probe lists."""
     import ray
 
     from eristropy_ray.datapipe.similarity import (
@@ -882,13 +862,6 @@ def q_ann_ivf(
     stride = 1
     while n_total // stride > sample_cap:
         stride *= 2
-
-    def _unit_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray, int]:
-        ids = b["vec_id"].to_numpy()
-        lst = b["embedding"].combine_chunks()
-        flat = np.asarray(lst.values, dtype=np.float64)
-        d = flat.size // len(ids) if len(ids) else 0
-        return ids.astype(np.int64), unit_rows(flat.reshape(len(ids), d)), d
 
     def sample_mask(b: pa.Table) -> pa.Table:
         keep = pc.equal(
@@ -907,6 +880,7 @@ def q_ann_ivf(
         [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"].to_pylist()]
     )[order]
     centroids = _kmeans(unit_rows(s_vecs), n_cells, seed=7)
+    n_probe = min(n_probe, centroids.shape[0])
     if n_super is None:
         n_super = max(2, n_cells // 4)
     cell_super = supercell_assign(centroids, n_super)
@@ -914,7 +888,11 @@ def q_ann_ivf(
 
     def assign_and_route(b: pa.Table) -> pa.Table:
         c, csuper = ray.get(cref)
-        ids, u, d = _unit_matrix(b)
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        lst = b["embedding"].combine_chunks()
+        flat = np.asarray(lst.values, dtype=np.float64)
+        d = flat.size // len(ids) if len(ids) else 0
+        u = unit_rows(flat.reshape(len(ids), d))
         scores = u @ c.T
         # members: one row per vector, in its own cell's supercell. The
         # member row carries the vector's probe list and DOUBLES as its
@@ -953,7 +931,46 @@ def q_ann_ivf(
             }
         )
 
-    routed = emb.map_batches(assign_and_route, batch_format="pyarrow")
+    return emb.map_batches(assign_and_route, batch_format="pyarrow"), n_probe
+
+
+def q_ann_ivf(
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_cap: int = 4096,
+    n_super: int | None = None,
+):
+    """IVF approximate nearest neighbors — distributed build AND probe.
+
+    Scale shape (no full-corpus driver read anywhere):
+      1. centroids are k-means-trained on a bounded deterministic sample
+         (vec_id stride mask, capped at ``sample_cap`` rows — the only
+         driver materialization besides the final result) and broadcast
+         once via ``ray.put``; the cells are then clustered into
+         ``n_super`` proximity supercells (``supercell_assign``);
+      2. one ``map_batches`` assigns every vector to its nearest cell
+         (role=member, shipped ONCE; the member row doubles as the query
+         in its own supercell) and ships query copies only to the OTHER
+         distinct supercells among its ``n_probe`` nearest cells, each
+         carrying its probe-cell list. The shuffle therefore carries
+         1 + E[distinct other probe supercells] times the embedding
+         table: ~2.7x on adversarial uniform-random vectors (this
+         corpus; asserted < n_probe in tests/test_datapipe.py) and
+         approaching 1x on clustered real corpora, vs a flat
+         (1 + n_probe) = 5x for naive per-cell routing;
+      3. ``groupby(super)`` computes per-supercell top-(k+1) partials,
+         masking members whose cell is not in the query's probe list
+         (IVF semantics preserved exactly — parity-tested);
+      4. ``groupby(query-hash)`` merges partials into the global top-k.
+    At cluster scale ``n_super`` rises with the node count so one
+    supercell's members fit a worker's heap; probe locality persists
+    because supercells group neighboring centroids.
+    Recall vs brute force and parity with the single-process
+    ``IVFIndex`` are asserted in tests/test_datapipe.py.
+    """
+    routed, n_probe = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
 
     def super_topk(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1052,84 +1069,7 @@ def q_embedding_neardup_ivf(
     at a LOW tau can sit far from both its cell centroids, so near-dup
     bucketing needs wider probing — 8/16 cells recovers the full exact
     pair set on both test corpora while still halving the work."""
-    import ray
-
-    from eristropy_ray.datapipe.similarity import (
-        _kmeans,
-        supercell_assign,
-        unit_rows,
-    )
-
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    n_total = emb.count()
-    stride = 1
-    while n_total // stride > sample_cap:
-        stride *= 2
-
-    def sample_mask(b: pa.Table) -> pa.Table:
-        keep = pc.equal(
-            pc.bit_wise_and(b["vec_id"], np.int64(stride - 1)), np.int64(0)
-        )
-        return b.filter(keep)
-
-    sample_tbl = pa.Table.from_pandas(
-        emb.map_batches(sample_mask, batch_format="pyarrow")
-        .limit(sample_cap)
-        .to_pandas()
-    )
-    s_ids = sample_tbl["vec_id"].to_numpy()
-    order = np.argsort(s_ids)
-    s_vecs = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"].to_pylist()]
-    )[order]
-    centroids = _kmeans(unit_rows(s_vecs), n_cells, seed=7)
-    if n_super is None:
-        n_super = max(2, n_cells // 4)
-    cell_super = supercell_assign(centroids, n_super)
-    cref = ray.put((centroids, cell_super))
-
-    def assign_and_route(b: pa.Table) -> pa.Table:
-        c, csuper = ray.get(cref)
-        ids = b["vec_id"].to_numpy().astype(np.int64)
-        lst = b["embedding"].combine_chunks()
-        flat = np.asarray(lst.values, dtype=np.float64)
-        d = flat.size // len(ids) if len(ids) else 0
-        u = unit_rows(flat.reshape(len(ids), d))
-        scores = u @ c.T
-        m_cell = scores.argmax(axis=1).astype(np.int64)
-        q_cells = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int64)
-        m_super = csuper[m_cell]
-        q_supers = np.sort(csuper[q_cells], axis=1)
-        first = np.ones_like(q_supers, dtype=bool)
-        first[:, 1:] = q_supers[:, 1:] != q_supers[:, :-1]
-        first &= q_supers != m_super[:, None]
-        qi, qj = np.nonzero(first)
-        supercell = np.concatenate([m_super, q_supers[qi, qj]])
-        role = np.concatenate(
-            [np.zeros(ids.size, np.int64), np.ones(qi.size, np.int64)]
-        )
-        rid = np.concatenate([ids, ids[qi]])
-        vecs = np.concatenate([u, u[qi]])
-        cell = np.concatenate([m_cell, np.full(qi.size, -1, np.int64)])
-        probes = np.concatenate([q_cells, q_cells[qi]])
-        return pa.table(
-            {
-                "super": pa.array(supercell, pa.int64()),
-                "cell": pa.array(cell, pa.int64()),
-                "role": pa.array(role, pa.int64()),
-                "rid": pa.array(rid, pa.int64()),
-                "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(vecs.reshape(-1), pa.float64()), d
-                ),
-                "probes": pa.FixedSizeListArray.from_arrays(
-                    pa.array(probes.reshape(-1), pa.int64()), n_probe
-                ),
-            }
-        )
-
-    routed = emb.map_batches(assign_and_route, batch_format="pyarrow")
+    routed, n_probe = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
 
     def super_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1697,7 +1637,7 @@ def q_group_cap(sf_dir: str, k: int = 3):
     rank-and-filter per partition; exact row_number SQL twin."""
     ds = _events_signals(sf_dir)
 
-    def cap(df: pd.DataFrame) -> pd.DataFrame:
+    def group_cap(df: pd.DataFrame) -> pd.DataFrame:
         sid = df["signal_id"].to_numpy()
         ts = df["ts_us"].to_numpy()
         tie = df["tie"].to_numpy()
@@ -1719,23 +1659,23 @@ def q_group_cap(sf_dir: str, k: int = 3):
             }
         )
 
-    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        return cap(df.drop(columns=["part"]))
-
-    wrapper.__name__ = "group_cap"
-    return ds.groupby("part").map_groups(wrapper, batch_format="pandas")
+    return _grouped(ds, group_cap)
 
 
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val/test assignment (80/10/10) by multiplicative
     id hash — the reproducible split every training-data pipeline needs.
-    Pure int64 arithmetic on both engines, so the SQL twin is exact; at
-    100 TB this is a stateless map with no shuffle at all."""
+    The id is reduced mod p BEFORE the multiply (floor-safe form) so the
+    int64 product cannot overflow for ANY int64 doc_id and negative ids
+    agree across engines (DuckDB % truncates, numpy floors); pure int64
+    arithmetic on both sides, so the SQL twin is exact. At 100 TB this
+    is a stateless map with no shuffle at all."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def fn(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy().astype(np.int64)
-        h = (ids * 2654435761) % 1000000007 % 100
+        p = np.int64(1000000007)
+        h = ((ids % p + p) % p) * 2654435761 % p % 100
         split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
         return pa.table(
             {
@@ -2510,8 +2450,10 @@ SELECT signal_id, ts_us, event_id, value FROM (
 """,
     "dataset_split": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-            WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+       CASE WHEN ((doc_id % 1000000007 + 1000000007) % 1000000007)
+                 * 2654435761 % 1000000007 % 100 < 80 THEN 'train'
+            WHEN ((doc_id % 1000000007 + 1000000007) % 1000000007)
+                 * 2654435761 % 1000000007 % 100 < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """,

@@ -590,3 +590,37 @@ def test_corrupt_png_degrades_not_crashes():
         pa.table({"payload": pa.array(corrupt, pa.binary())})
     )
     assert all(f == b"" for f in fr["frame"].to_pylist())
+
+
+def test_png_bomb_degrades_not_ooms():
+    """A payload declaring absurd IHDR dimensions (or inflating past the
+    declared size) must raise ValueError, never allocate unbounded."""
+    import struct
+    import zlib
+
+    from eristropy_ray.datapipe.media import decode_png
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 40000 x 40000 gray = 1.6e9 samples declared in ~100 bytes
+    ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 0, 0, 0, 0)
+    bomb = magic + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 1000)
+    )
+    with pytest.raises(ValueError):
+        decode_png(bomb)
+    # zero-dimension and over-inflating streams degrade too
+    ihdr0 = struct.pack(">IIBBBBB", 0, 2**31 - 1, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(magic + chunk(b"IHDR", ihdr0) + chunk(b"IDAT", b""))
+    ihdr_small = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    overinflate = magic + chunk(b"IHDR", ihdr_small) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 4096)
+    )
+    with pytest.raises(ValueError):
+        decode_png(overinflate)
