@@ -634,9 +634,9 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     import logging
 
     from eristropy_ray.datapipe.dedup import (
-        jaccard,
         lsh_band_keys,
         minhash_signature_batch,
+        word_shingle_hashes,
     )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -755,11 +755,23 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
             columns={"text": "text_b"}
         )
         both = a_rows.merge(b_rows, on="pid")  # inner: need both sides
+        # shingle each distinct text once (docs recur across pairs)
+        cache: dict[str, np.ndarray] = {}
+
+        def shingles(t: str) -> np.ndarray:
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = word_shingle_hashes(t, 3)
+            return s
+
         keep = {"doc_a": [], "doc_b": [], "jaccard": []}
         for a, b, ta, tb in zip(
             both["doc_a"], both["doc_b"], both["text_a"], both["text_b"]
         ):
-            j = jaccard(ta, tb)
+            sa, sb = shingles(ta), shingles(tb)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
             if j >= 0.5:
                 keep["doc_a"].append(int(a))
                 keep["doc_b"].append(int(b))
