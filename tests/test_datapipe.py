@@ -624,3 +624,49 @@ def test_png_bomb_degrades_not_ooms():
     )
     with pytest.raises(ValueError):
         decode_png(overinflate)
+
+
+def test_neardup_queries_empty_result(ray_session, tmp_path):
+    """Corpora with no near-dups must yield empty, correctly-typed
+    results through the full distributed plans (empty candidate sets,
+    empty join sides, empty pair groupbys)."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import (
+        q_embedding_neardup_ivf,
+        q_minhash_neardup,
+    )
+
+    rng = np.random.default_rng(31)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40), pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(
+                        f"w{rng.integers(0, 10**9)}" for _ in range(12)
+                    )
+                    for _ in range(40)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(64), pa.int64()),
+            "embedding": pa.array(
+                [rng.normal(size=16).tolist() for _ in range(64)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+
+    mh = q_minhash_neardup(str(tmp_path))
+    assert len(mh) == 0
+    assert list(mh.columns) == ["doc_a", "doc_b", "jaccard"]
+
+    nd = q_embedding_neardup_ivf(str(tmp_path), tau=0.999).to_pandas()
+    assert len(nd) == 0
