@@ -1315,6 +1315,59 @@ def q_pii_counts(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def q_split_contamination(sf_dir: str):
+    """Train/eval contamination check: near-dup pairs (word-shingle
+    Jaccard >= 0.5, the minhash_neardup surface) that CROSS dataset-split
+    boundaries — the leakage audit run before any training job. Composed
+    from two oracle-exact operators, so the SQL twin is their CTE
+    composition; the split label is pure id arithmetic (no extra join)."""
+    pairs = q_minhash_neardup(sf_dir)
+    if pairs.empty:
+        return pairs.assign(
+            split_a=pd.Series(dtype="object"), split_b=pd.Series(dtype="object")
+        )
+
+    def split_of(ids: np.ndarray) -> np.ndarray:
+        p = np.int64(1000000007)
+        h = ((ids % p + p) % p) * 2654435761 % p % 100
+        return np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+
+    sa = split_of(pairs["doc_a"].to_numpy())
+    sb = split_of(pairs["doc_b"].to_numpy())
+    out = pairs.assign(split_a=sa, split_b=sb)
+    return out[out["split_a"] != out["split_b"]].reset_index(drop=True)
+
+
+def q_repetition(sf_dir: str, k: int = 10):
+    """Per-document repetition ratio: 1 - distinct/total character
+    k-grams — the boilerplate/spam quality signal. Stateless vectorized
+    pass (rolling polynomial hashes, np.unique); the ratio is an int/int
+    division so the substring-based SQL twin matches bit-for-bit."""
+    from eristropy_ray.datapipe.textstats import rolling_kgram_hashes
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.empty(len(df), dtype=np.int64)
+        distinct = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            h = rolling_kgram_hashes(t, k) if len(t) >= k else np.empty(0)
+            total[i] = h.size
+            distinct[i] = np.unique(h).size
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_grams": total,
+                "n_distinct": distinct,
+                "rep_ratio": np.where(
+                    total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal decode pipeline over binary payload columns (rows-only:
     zlib/codec byte streams are not SQL-expressible).
@@ -2033,6 +2086,8 @@ QUERIES = {
     "adf_stationarity": q_adf_stationarity,
     "transcript_rollup": q_transcript_rollup,
     "transcript_rollup_stats": q_transcript_rollup_stats,
+    "split_contamination": q_split_contamination,
+    "repetition": q_repetition,
     "tier_blocks": q_tier_blocks,
     "tier_block_sizes": q_tier_block_sizes,
     "tier_block_enc": q_tier_block_enc,
@@ -2127,6 +2182,18 @@ WITH w AS (
 SELECT doc_id, CASE WHEN score >= 0.02 THEN lang ELSE 'unknown' END AS lang_pred
 FROM r WHERE rn = 1
 """
+
+
+def _split_case_sql(col: str) -> str:
+    """The dataset_split hash as a SQL CASE expression — ONE definition
+    shared by the dataset_split and split_contamination oracles, matching
+    q_dataset_split's numpy arithmetic exactly (mod p before the multiply
+    so int64 never overflows; floor-safe double-mod for negative ids)."""
+    h = f"(({col} % 1000000007 + 1000000007) % 1000000007) * 2654435761 % 1000000007 % 100"
+    return (
+        f"CASE WHEN {h} < 80 THEN 'train' "
+        f"WHEN {h} < 90 THEN 'val' ELSE 'test' END"
+    )
 
 
 def _minhash_sql() -> str:
@@ -2460,14 +2527,32 @@ SELECT signal_id, ts_us, event_id, value FROM (
   FROM events
 ) WHERE rk <= 3
 """,
-    "dataset_split": """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN ((doc_id % 1000000007 + 1000000007) % 1000000007)
-                 * 2654435761 % 1000000007 % 100 < 80 THEN 'train'
-            WHEN ((doc_id % 1000000007 + 1000000007) % 1000000007)
-                 * 2654435761 % 1000000007 % 100 < 90 THEN 'val'
-            ELSE 'test' END AS split
+    "dataset_split": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_split_case_sql('doc_id')} AS split
 FROM documents
+""",
+    "split_contamination": f"""
+WITH pairs AS ({{minhash}}),
+labeled AS (
+  SELECT doc_a, doc_b, jaccard,
+         {_split_case_sql('doc_a')} AS split_a,
+         {_split_case_sql('doc_b')} AS split_b
+  FROM pairs
+)
+SELECT * FROM labeled WHERE split_a <> split_b
+""".replace("{minhash}", _minhash_sql()),
+    "repetition": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(greatest(length(text) - 9, 0) AS BIGINT) AS n_grams,
+       CASE WHEN length(text) >= 10 THEN (
+         SELECT CAST(COUNT(DISTINCT substring(d.text, gs.i, 10)) AS BIGINT)
+         FROM (SELECT unnest(generate_series(1, length(d.text) - 9)) AS i) gs(i)
+       ) ELSE 0 END AS n_distinct,
+       CASE WHEN length(text) >= 10 THEN 1.0 - (
+         SELECT CAST(COUNT(DISTINCT substring(d.text, gs.i, 10)) AS DOUBLE)
+         FROM (SELECT unnest(generate_series(1, length(d.text) - 9)) AS i) gs(i)
+       ) / (length(text) - 9) ELSE 0.0 END AS rep_ratio
+FROM documents d
 """,
     "top_users": """
 SELECT user_id, COUNT(*) AS n_obs FROM events
