@@ -670,3 +670,15 @@ def test_neardup_queries_empty_result(ray_session, tmp_path):
 
     nd = q_embedding_neardup_ivf(str(tmp_path), tau=0.999).to_pandas()
     assert len(nd) == 0
+
+
+def test_ann_ivf_nprobe_clamped_to_centroids(ray_session):
+    """n_probe larger than the trained centroid count must clamp, not
+    crash with a ragged FixedSizeList (tiny corpora / small n_cells)."""
+    from eristropy_ray.pipelines.queries import q_ann_ivf
+
+    out = q_ann_ivf(
+        "/root/testdata/sf0.001", k=3, n_cells=4, n_probe=8
+    ).to_pandas()
+    assert len(out) > 0
+    assert (out.groupby("vec_id").size() <= 3).all()
