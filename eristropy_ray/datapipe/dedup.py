@@ -181,13 +181,20 @@ def lsh_band_keys(
     return band_id.reshape(-1), h.reshape(-1)
 
 
-def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    """Exact shingle-set Jaccard similarity (verification step)."""
-    sa = word_shingle_hashes(text_a, k)
-    sb = word_shingle_hashes(text_b, k)
+def jaccard_from_hashes(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard of two precomputed (unique, sorted) shingle-hash
+    sets — the ONE definition used by ``jaccard`` and the LSH verify
+    stage (empty-vs-empty is 1.0 by convention)."""
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return inter / union if union else 1.0
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact shingle-set Jaccard similarity (verification step)."""
+    return jaccard_from_hashes(
+        word_shingle_hashes(text_a, k), word_shingle_hashes(text_b, k)
+    )
 
 
 def simhash64(text: str) -> int:

@@ -106,13 +106,9 @@ def decode_png(payload: bytes) -> np.ndarray:
                 channels = _PNG_CHANNELS[color]
                 if width == 0 or height == 0:
                     raise ValueError("empty PNG (zero dimension)")
-                # cap the scanline payload too (width=0 is caught above,
-                # but the +1 filter byte per row makes height a second
-                # allocation axis)
-                if (
-                    width * height * channels > _PNG_MAX_SAMPLES
-                    or height * (width * channels + 1) > 2 * _PNG_MAX_SAMPLES
-                ):
+                # with both dims >= 1 this also bounds the scanline
+                # payload h*(w*c+1) at twice the cap
+                if width * height * channels > _PNG_MAX_SAMPLES:
                     raise ValueError(
                         f"PNG dimensions {width}x{height}x{channels} exceed "
                         f"the {_PNG_MAX_SAMPLES}-sample decode cap"

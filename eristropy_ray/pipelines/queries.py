@@ -634,6 +634,7 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     import logging
 
     from eristropy_ray.datapipe.dedup import (
+        jaccard_from_hashes,
         lsh_band_keys,
         minhash_signature_batch,
         word_shingle_hashes,
@@ -768,10 +769,7 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
         for a, b, ta, tb in zip(
             both["doc_a"], both["doc_b"], both["text_a"], both["text_b"]
         ):
-            sa, sb = shingles(ta), shingles(tb)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 1.0
+            j = jaccard_from_hashes(shingles(ta), shingles(tb))
             if j >= 0.5:
                 keep["doc_a"].append(int(a))
                 keep["doc_b"].append(int(b))
@@ -848,16 +846,16 @@ def _ivf_route(
     n_probe: int,
     sample_cap: int,
     n_super: int | None,
-) -> tuple[rd.Dataset, int]:
+) -> rd.Dataset:
     """Shared IVF build + supercell routing (used by ``q_ann_ivf`` and
     ``q_embedding_neardup_ivf``): train centroids on a bounded
     deterministic sample, cluster them into proximity supercells, then
     one ``map_batches`` emits member rows (shipped once, doubling as the
     query in their own supercell) plus query copies to the OTHER
     distinct probe supercells, each carrying its probe-cell list.
-    Returns (routed dataset, effective n_probe) — n_probe is clamped to
-    the trained centroid count so tiny corpora / small n_cells cannot
-    produce ragged probe lists."""
+    n_probe is clamped to the trained centroid count so tiny corpora /
+    small n_cells cannot produce ragged probe lists; the clamp only
+    affects the routed probes column, so only the dataset is returned."""
     import ray
 
     from eristropy_ray.datapipe.similarity import (
@@ -943,7 +941,7 @@ def _ivf_route(
             }
         )
 
-    return emb.map_batches(assign_and_route, batch_format="pyarrow"), n_probe
+    return emb.map_batches(assign_and_route, batch_format="pyarrow")
 
 
 def q_ann_ivf(
@@ -982,7 +980,7 @@ def q_ann_ivf(
     Recall vs brute force and parity with the single-process
     ``IVFIndex`` are asserted in tests/test_datapipe.py.
     """
-    routed, n_probe = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
+    routed = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
 
     def super_topk(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1081,7 +1079,7 @@ def q_embedding_neardup_ivf(
     at a LOW tau can sit far from both its cell centroids, so near-dup
     bucketing needs wider probing — 8/16 cells recovers the full exact
     pair set on both test corpora while still halving the work."""
-    routed, n_probe = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
+    routed = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
 
     def super_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1110,8 +1108,6 @@ def q_embedding_neardup_ivf(
             b2 = np.maximum(qids[qi], mids[mi])
             rows_a.append(a)
             rows_b.append(b2)
-        if not rows_a:
-            return empty
         a = np.concatenate(rows_a)
         b2 = np.concatenate(rows_b)
         out = pd.DataFrame({"vec_a": a, "vec_b": b2}).drop_duplicates()
