@@ -225,16 +225,6 @@ _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r']
 _WS_TOKEN_PAT = r"[^ \t\n\f\r]+"
 
 
-def _parquet_rows(path_glob: str) -> int:
-    """Exact row count from parquet footer metadata — no data scan."""
-    import glob as _glob
-
-    import pyarrow.parquet as _pq
-
-    paths = _glob.glob(path_glob) or [path_glob]
-    return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
-
-
 def _sql_regex(pat: str) -> str:
     """SQL string literal of a Python regex: the escapes (\t etc.) are
     already literal backslash sequences RE2 understands; only quotes need
@@ -617,11 +607,14 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
 
     Scale-safe plan: vectorized signatures per batch -> explode
     (band_id, band_hash, doc_id) -> groupby(bucket) -> candidate PAIRS
-    only (ids, no text) -> distributed pair dedupe -> hash-join the pairs
-    back to the text table on doc_id twice -> exact-Jaccard verify per
-    pair. The corpus text is never broadcast or collected on the driver —
-    only the (few) candidate pairs flow through the joins. Buckets larger
-    than ``bucket_cap`` docs are counted and logged, not silently dropped.
+    only (ids, no text) -> distributed pair dedupe -> broadcast the
+    candidate id->pair map (output-scale, the legal driver pinch) ->
+    one streaming filter tags candidate texts with their pair ids ->
+    one groupby(pair-hash) regroups them -> exact-Jaccard verify per
+    pair. The corpus text is never broadcast or collected on the driver
+    and never joins: only candidate texts move through the one regroup
+    shuffle. Buckets larger than ``bucket_cap`` docs are counted and
+    logged, not silently dropped.
 
     Oracle-exact: on the test corpus LSH recall is 1.0 (every exact
     word-shingle-Jaccard>=0.5 pair shares at least one band — asserted in
@@ -721,41 +714,52 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
              "doc_b": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}
         )
-    # ONE hash-join brings candidate texts to the pairs: the pair set is
-    # exploded to long form (two rows per pair, one per side), joined to
-    # the document table on doc_id, then regrouped by pair id. Text
-    # moves ONLY for candidate docs (the corpus streams through the join
-    # and never lands on the driver), and the pair-regroup shuffles that
-    # same small candidate-text set — vs two full join barriers in the
-    # previous plan (each ~1.3 s fixed cost in local mode). The join
-    # repartitions BOTH sides, so partition count scales with the
-    # corpus: ~50k docs per partition, floor 2, from parquet footers.
-    n_join_parts = max(2, _parquet_rows(f"{sf_dir}/documents.parquet") // 50_000)
-    pid = np.arange(len(pairs_pd), dtype=np.int64)
-    long_pd = pd.DataFrame(
-        {
-            "pid": np.repeat(pid, 2),
-            "part": np.repeat(pid % _NPARTS, 2),
-            "doc_a": np.repeat(pairs_pd["doc_a"].to_numpy(), 2),
-            "doc_b": np.repeat(pairs_pd["doc_b"].to_numpy(), 2),
-            "doc_id": np.column_stack(
-                [pairs_pd["doc_a"].to_numpy(), pairs_pd["doc_b"].to_numpy()]
-            ).reshape(-1),
-        }
-    )
-    joined = rd.from_pandas(long_pd).join(
-        docs, "inner", num_partitions=n_join_parts, on=("doc_id",)
-    )
+    # Candidate texts reach their pairs WITHOUT a join barrier: the
+    # candidate id -> (pair, side) map is output-scale (the same data as
+    # pairs_pd, which already legally sits on the driver), so it is
+    # broadcast once via ray.put; one streaming map over the corpus
+    # filters to candidate docs and tags each with its pair ids, then a
+    # single groupby(pair-hash) regroups that candidate-text set for
+    # verification. The corpus itself streams through the filter — only
+    # candidate texts shuffle, and the ~1.3 s local-mode join barrier of
+    # the previous plan is gone.
+    import ray as _ray_mod
+
+    a_ids = pairs_pd["doc_a"].to_numpy()
+    b_ids = pairs_pd["doc_b"].to_numpy()
+    pair_map: dict[int, list[tuple[int, int]]] = {}
+    for pid_i, (a, b) in enumerate(zip(a_ids, b_ids)):
+        pair_map.setdefault(int(a), []).append((pid_i, 0))
+        pair_map.setdefault(int(b), []).append((pid_i, 1))
+    pairs_ref = _ray_mod.put((pair_map, a_ids, b_ids))
+
+    def tag_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        pmap, _, _ = _ray_mod.get(pairs_ref)
+        rows = {"pid": [], "side": [], "text": [], "part": []}
+        for did, text in zip(df["doc_id"], df["text"]):
+            for pid_i, side in pmap.get(int(did), ()):
+                rows["pid"].append(pid_i)
+                rows["side"].append(side)
+                rows["text"].append(text)
+                rows["part"].append(pid_i % _NPARTS)
+        return pd.DataFrame(rows).astype(
+            {"pid": "int64", "side": "int64", "part": "int64"}
+        )
+
+    tagged = docs.map_batches(tag_candidates, batch_format="pandas")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        _, p_a, p_b = _ray_mod.get(pairs_ref)
         df = df.drop(columns=["part"])
-        a_rows = df[df["doc_id"] == df["doc_a"]][
-            ["pid", "doc_a", "doc_b", "text"]
-        ].rename(columns={"text": "text_a"})
-        b_rows = df[df["doc_id"] == df["doc_b"]][["pid", "text"]].rename(
+        a_rows = df[df["side"] == 0][["pid", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b_rows = df[df["side"] == 1][["pid", "text"]].rename(
             columns={"text": "text_b"}
         )
         both = a_rows.merge(b_rows, on="pid")  # inner: need both sides
+        both["doc_a"] = p_a[both["pid"].to_numpy()]
+        both["doc_b"] = p_b[both["pid"].to_numpy()]
         # shingle each distinct text once (docs recur across pairs)
         cache: dict[str, np.ndarray] = {}
 
@@ -782,7 +786,7 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
 
     verify.__name__ = "verify_pairs"
     out = (
-        joined.groupby("part")
+        tagged.groupby("part")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
