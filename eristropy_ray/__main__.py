@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--tiers", default="1m,1h,1d")
+    parser.add_argument(
+        "--lateness-us", type=int, default=None,
+        help="allowed lateness for the (conversation, day)-local "
+             "watermark; turns older than (conv-day max ts - lateness) "
+             "are dropped before windowing (default: accept all)",
+    )
     parser.add_argument("--num-cpus", type=int, default=None,
                         help="only used when this process must init Ray itself")
     args = parser.parse_args(argv)
@@ -64,7 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         print(f"no input files match {args.input!r}", file=sys.stderr)
         return 2
-    cfg = RollupConfig(tiers=tuple(args.tiers.split(",")))
+    cfg = RollupConfig(
+        tiers=tuple(args.tiers.split(",")), lateness_us=args.lateness_us
+    )
     summary = run_rollup_job(
         files,
         args.out,
