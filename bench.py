@@ -113,6 +113,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_by_segment",
         "transcript_rollup",
         "clean_corpus",
+        "vocab_topk",
+        "embedding_neardup_ivf",
+        "transcript_rollup_stats",
     ]
     timings = {}
     for name in names:

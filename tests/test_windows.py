@@ -173,3 +173,49 @@ def test_null_ids_are_dropped_not_merged():
     )
     assert set(cols["conv_id"]) == {"a"}
     assert all(n == 2 for n in cols["n_turns"])
+
+
+def test_lateness_watermark_property():
+    """Property: rollup_windows with lateness equals rollup_windows on a
+    manually filtered input (per-(conv, day) max-ts watermark), for
+    random conversations/timestamps/arrival orders."""
+    import numpy as np
+
+    from eristropy_ray.config import TIER_STEPS_US, RollupConfig
+    from eristropy_ray.stages.windows import rollup_windows
+
+    day = TIER_STEPS_US["1d"]
+    rng = np.random.default_rng(41)
+    for trial in range(5):
+        n = int(rng.integers(20, 200))
+        conv = rng.choice(np.array(["a", "b", "c"], dtype=object), size=n)
+        ts = rng.integers(0, 3 * day, size=n).astype(np.int64)
+        idx = rng.permutation(n).astype(np.int64)
+        val = rng.normal(size=n)
+        lateness = int(rng.integers(1, day))
+        cfg = RollupConfig(tiers=("1h",), lateness_us=lateness)
+
+        # manual expectation: keep ts >= max(ts in (conv, day)) - lateness
+        keep = np.zeros(n, dtype=bool)
+        d = ts // day
+        for c in np.unique(conv):
+            for dd in np.unique(d[conv == c]):
+                m = (conv == c) & (d == dd)
+                keep[m] = ts[m] >= ts[m].max() - lateness
+        import pandas as pd
+
+        def frame(cols):
+            return (
+                pd.DataFrame(cols)
+                .sort_values(["tier", "conv_id", "bucket_ts"], kind="stable")
+                .reset_index(drop=True)
+            )
+
+        want = frame(
+            rollup_windows(
+                conv[keep], idx[keep], ts[keep], val[keep],
+                RollupConfig(tiers=("1h",)),
+            )
+        )
+        got = frame(rollup_windows(conv, idx, ts, val, cfg))
+        pd.testing.assert_frame_equal(got, want)
