@@ -1833,6 +1833,34 @@ def q_orders_by_segment(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_order_segments_join(sf_dir: str):
+    """Distributed hash join (``Dataset.join``) of orders x customer —
+    the LARGE-x-large join surface (contrast ``orders_by_segment``, the
+    broadcast map-side variant for small dims): both sides hash-shuffle
+    on the key, so this is the plan when neither side fits a broadcast.
+    Emits one row per order with its market segment; exact SQL twin."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+                "o_totalprice": b["o_totalprice"],
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def q_sessions(sf_dir: str):
     """Gap-based session windows over each user's event stream (streaming
     op; exact integer outputs vs a window-function SQL oracle)."""
@@ -2117,6 +2145,7 @@ QUERIES = {
     "sample_events": q_sample_events,
     "top_users": q_top_users,
     "orders_by_segment": q_orders_by_segment,
+    "order_segments_join": q_order_segments_join,
     "sessions": q_sessions,
     "rolling_mean": q_rolling_mean,
     "event_types": q_event_types,
@@ -2557,6 +2586,10 @@ FROM documents d
     "top_users": """
 SELECT user_id, COUNT(*) AS n_obs FROM events
 GROUP BY user_id ORDER BY n_obs DESC, user_id LIMIT 10
+""",
+    "order_segments_join": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
 """,
     "orders_by_segment": """
 SELECT c_mktsegment,
