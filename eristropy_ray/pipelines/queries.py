@@ -727,16 +727,21 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
 
     a_ids = pairs_pd["doc_a"].to_numpy()
     b_ids = pairs_pd["doc_b"].to_numpy()
+    cand_ids = np.unique(np.concatenate([a_ids, b_ids]))
     pair_map: dict[int, list[tuple[int, int]]] = {}
     for pid_i, (a, b) in enumerate(zip(a_ids, b_ids)):
         pair_map.setdefault(int(a), []).append((pid_i, 0))
         pair_map.setdefault(int(b), []).append((pid_i, 1))
-    pairs_ref = _ray_mod.put((pair_map, a_ids, b_ids))
+    pairs_ref = _ray_mod.put((cand_ids, pair_map, a_ids, b_ids))
 
     def tag_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        pmap, _, _ = _ray_mod.get(pairs_ref)
+        cids, pmap, _, _ = _ray_mod.get(pairs_ref)
+        # vectorized membership filter first: the per-doc Python loop
+        # below touches only CANDIDATE docs (output-scale), never the
+        # full corpus stream
+        sub = df[np.isin(df["doc_id"].to_numpy(), cids)]
         rows = {"pid": [], "side": [], "text": [], "part": []}
-        for did, text in zip(df["doc_id"], df["text"]):
+        for did, text in zip(sub["doc_id"], sub["text"]):
             for pid_i, side in pmap.get(int(did), ()):
                 rows["pid"].append(pid_i)
                 rows["side"].append(side)
