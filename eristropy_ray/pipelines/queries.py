@@ -754,7 +754,7 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     tagged = docs.map_batches(tag_candidates, batch_format="pandas")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        _, p_a, p_b = _ray_mod.get(pairs_ref)
+        _, _, p_a, p_b = _ray_mod.get(pairs_ref)
         df = df.drop(columns=["part"])
         a_rows = df[df["side"] == 0][["pid", "text"]].rename(
             columns={"text": "text_a"}

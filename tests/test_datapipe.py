@@ -682,3 +682,31 @@ def test_ann_ivf_nprobe_clamped_to_centroids(ray_session):
     ).to_pandas()
     assert len(out) > 0
     assert (out.groupby("vec_id").size() <= 3).all()
+
+
+def test_minhash_neardup_query_equals_exact_pairs(ray_session):
+    """End-to-end q_minhash_neardup (signatures -> LSH -> broadcast
+    candidate map -> tag -> regroup -> verify) equals the exact
+    word-shingle-Jaccard>=0.5 pair set on the small corpus."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import q_minhash_neardup
+
+    sf = "/root/testdata/sf0.001"
+    got = q_minhash_neardup(sf)
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy().astype(np.int64)
+    sets = [word_shingle_hashes(t, 3) for t in tbl["text"].to_pylist()]
+    exact = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            uni = sets[i].size + sets[j].size - inter
+            jv = inter / uni if uni else 1.0
+            if jv >= 0.5:
+                exact[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = jv
+    assert exact
+    assert {
+        (a, b): j
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    } == exact
