@@ -74,3 +74,36 @@ def hll_estimate(regs: np.ndarray) -> float:
     # sketch hashes 64 bits (no 2^32 saturation), where applying it
     # would bias estimates above ~143M and blow up past 2^32
     return float(est)
+
+
+def mg_summary(
+    items: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries reduction of (item, count) to at most ``k`` entries.
+
+    Misra & Gries 1982 / the SpaceSaving family (Agarwal et al., PODS'12
+    "Mergeable Summaries"): keep the k largest, subtract the (k+1)-th
+    largest count from the survivors, drop the rest. Each reduction
+    undercounts every item by at most the subtracted value; across a
+    merge tree the total undercount of any item is bounded by n/k of the
+    TOTAL stream (mergeability theorem), independent of tree shape."""
+    if items.size <= k:
+        return items, counts.astype(np.int64)
+    order = np.argsort(-counts, kind="stable")
+    kept = order[:k]
+    sub = int(counts[order[k]])
+    new_counts = counts[kept].astype(np.int64) - sub
+    pos = new_counts > 0
+    return items[kept][pos], new_counts[pos]
+
+
+def mg_merge(
+    parts: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge MG summaries: sum counts per item, then reduce to k."""
+    items = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(items, return_inverse=True)
+    summed = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return mg_summary(uniq, summed, k)

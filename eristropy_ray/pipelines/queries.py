@@ -1295,6 +1295,46 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     return top.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
+    """Approximate heavy hitters (frequent words) via mergeable
+    Misra-Gries summaries — the sketch counterpart to the exact
+    ``vocab_topk``: each batch collapses to at most ``k_summary``
+    (word, estimate) rows BEFORE the shuffle, so the exchange is
+    O(batches x k), independent of corpus size (at 100 TB the exact
+    wordcount's (word, count) exchange is vocabulary-sized; this one is
+    constant per batch). Estimates undercount by at most
+    n_total/k_summary (mergeability bound, Agarwal et al. PODS'12) —
+    pinned against exact counts in tests/test_datapipe.py. Rows-only:
+    approximate by design."""
+    from eristropy_ray.datapipe.sketch import mg_merge, mg_summary
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.findall(_WS_TOKEN_PAT).explode().dropna()
+        vc = words.value_counts()
+        items, counts = mg_summary(
+            vc.index.to_numpy(dtype=object), vc.to_numpy(), k_summary
+        )
+        return pd.DataFrame({"word": items.astype(str), "est": counts})
+
+    candidates = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("est", alias_name="est"))
+        .to_pandas()  # <= n_batches x k_summary rows: the legal pinch
+    )
+    items, counts = mg_merge(
+        [(candidates["word"].to_numpy(dtype=object),
+          candidates["est"].to_numpy(dtype=np.int64))],
+        k_summary,
+    )
+    order = np.lexsort((items.astype(str), -counts))[:topn]
+    return pd.DataFrame(
+        {"word": items[order].astype(str), "est": counts[order]}
+    ).astype({"est": "int64"})
+
+
 # RE2-compatible patterns shared verbatim with the SQL twins (explicit
 # ASCII whitespace class; no lookahead)
 _EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
@@ -2138,6 +2178,7 @@ QUERIES = {
     "knn_all": q_knn_all,
     "ann_ivf": q_ann_ivf,
     "vocab_topk": q_vocab_topk,
+    "heavy_hitters": q_heavy_hitters,
     "pii_counts": q_pii_counts,
     "multimodal_features": q_multimodal_features,
     "clean_corpus": q_clean_corpus,

@@ -710,3 +710,56 @@ def test_minhash_neardup_query_equals_exact_pairs(ray_session):
         (a, b): j
         for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
     } == exact
+
+
+def test_mg_summary_bound():
+    """Misra-Gries: estimates undercount by at most n/k, and any item
+    with true count > n/k survives the reduction."""
+    from eristropy_ray.datapipe.sketch import mg_merge, mg_summary
+
+    rng = np.random.default_rng(51)
+    items = rng.zipf(1.5, size=20000) % 500
+    uniq, true = np.unique(items, return_counts=True)
+    k = 32
+    n = items.size
+    # simulate batched summaries + merge (arbitrary split points)
+    parts = []
+    for chunk in np.array_split(items, 7):
+        u, c = np.unique(chunk, return_counts=True)
+        parts.append(mg_summary(u, c, k))
+    mi, mc = mg_merge(parts, k)
+    est = dict(zip(mi.tolist(), mc.tolist()))
+    for it, t in zip(uniq.tolist(), true.tolist()):
+        e = est.get(it, 0)
+        assert e <= t  # never overcounts
+        assert t - e <= n / k + 1e-9  # mergeability bound
+        if t > n / k:
+            assert it in est  # guaranteed survivor
+
+
+def test_heavy_hitters_matches_exact_top(ray_session):
+    """The sketch's top words agree with the exact wordcount top on the
+    test corpus, and every estimate is within the n/k bound."""
+    import pyarrow.parquet as pq
+    import re
+
+    from eristropy_ray.pipelines.queries import _WS_TOKEN_PAT, q_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    got = q_heavy_hitters(sf, k_summary=256, topn=10)
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    pat = re.compile(_WS_TOKEN_PAT)
+    exact: dict[str, int] = {}
+    n = 0
+    for t in texts:
+        for w in pat.findall(t):
+            exact[w] = exact.get(w, 0) + 1
+            n += 1
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for w, e in zip(got["word"], got["est"]):
+        t = exact.get(w, 0)
+        assert e <= t and t - e <= n / 256
+    # the sketch's top-10 is the exact top-10 on this corpus
+    assert set(got["word"]) == {w for w, _ in top_exact}
