@@ -107,3 +107,39 @@ def mg_merge(
     summed = np.zeros(uniq.size, dtype=np.int64)
     np.add.at(summed, inv, counts)
     return mg_summary(uniq, summed, k)
+
+
+def bloom_build(values: np.ndarray, m_bits: int, n_hashes: int = 4) -> np.ndarray:
+    """Bloom filter (uint8 bit array, length m_bits/8) over int64 values.
+
+    Kirsch-Mitzenmacher double hashing: h_i = h1 + i*h2 gives the
+    classic k-hash false-positive behavior from two 64-bit hashes.
+    Filters merge by bitwise OR (commutative monoid), so per-batch
+    partials combine in any order — the semi-join build side reduces to
+    one m/8-byte row per batch regardless of row count."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if values.size == 0:
+        return bits
+    h = _splitmix64(np.asarray(values, dtype=np.int64).view(np.uint64))
+    h2 = _splitmix64(h) | np.uint64(1)  # odd: full cycle mod 2^64
+    for i in range(n_hashes):
+        pos = ((h + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(
+    bits: np.ndarray, values: np.ndarray, n_hashes: int = 4
+) -> np.ndarray:
+    """Vectorized membership mask (no false negatives; FP rate ~
+    (1 - e^(-kn/m))^k)."""
+    m_bits = bits.size * 8
+    if values.size == 0:
+        return np.zeros(0, dtype=bool)
+    h = _splitmix64(np.asarray(values, dtype=np.int64).view(np.uint64))
+    h2 = _splitmix64(h) | np.uint64(1)
+    out = np.ones(values.size, dtype=bool)
+    for i in range(n_hashes):
+        pos = ((h + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+        out &= (bits[pos >> 3] >> (pos & 7) & 1).astype(bool)
+    return out

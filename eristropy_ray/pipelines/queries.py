@@ -1295,6 +1295,57 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     return top.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
+    """Semi-join prefilter via a Bloom filter: click events by users who
+    made a purchase. Build side (purchaser ids) folds to ONE m/8-byte
+    OR-mergeable filter row per batch — at 100 TB this replaces
+    broadcasting the exact id set (A3's pattern, fine for small sides)
+    when the build side itself is huge. Probe is a stateless vectorized
+    mask over the stream. No false negatives (every true match passes);
+    false positives are bounded and verified exactly downstream in a
+    real pipeline — here the FP rate is asserted against the exact
+    semi-join in tests (rows-only by design)."""
+    import ray
+
+    from eristropy_ray.datapipe.sketch import bloom_build, bloom_contains
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+
+    def build_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = bloom_build(uid, m_bits)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = ev.map_batches(build_partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts:  # one m/8-byte row per batch: OR-merge on driver
+        np.bitwise_or(
+            merged, np.frombuffer(row["bits"], dtype=np.uint8), out=merged
+        )
+    bref = ray.put(merged)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits = ray.get(bref)
+        t = b.filter(pc.equal(b["event_type"], "click"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = bloom_contains(bits, uid)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    return ev.map_batches(probe, batch_format="pyarrow")
+
+
 def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
     """Approximate heavy hitters (frequent words) via mergeable
     Misra-Gries summaries — the sketch counterpart to the exact
@@ -2179,6 +2230,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "vocab_topk": q_vocab_topk,
     "heavy_hitters": q_heavy_hitters,
+    "bloom_semijoin": q_bloom_semijoin,
     "pii_counts": q_pii_counts,
     "multimodal_features": q_multimodal_features,
     "clean_corpus": q_clean_corpus,

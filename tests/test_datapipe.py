@@ -763,3 +763,52 @@ def test_heavy_hitters_matches_exact_top(ray_session):
         assert e <= t and t - e <= n / 256
     # the sketch's top-10 is the exact top-10 on this corpus
     assert set(got["word"]) == {w for w, _ in top_exact}
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; FP rate near the analytic bound."""
+    from eristropy_ray.datapipe.sketch import bloom_build, bloom_contains
+
+    rng = np.random.default_rng(61)
+    members = rng.integers(0, 10**12, size=2000).astype(np.int64)
+    m_bits = 1 << 15
+    bits = bloom_build(members, m_bits)
+    assert bloom_contains(bits, members).all()  # zero false negatives
+    probes = rng.integers(10**12, 2 * 10**12, size=20000).astype(np.int64)
+    fp = bloom_contains(bits, probes).mean()
+    k, n, m = 4, members.size, m_bits
+    bound = (1 - np.exp(-k * n / m)) ** k
+    assert fp < 2.5 * bound  # near the analytic rate, not degenerate
+    # mergeability: OR of two half-filters == filter of the union
+    b1 = bloom_build(members[:1000], m_bits)
+    b2 = bloom_build(members[1000:], m_bits)
+    np.testing.assert_array_equal(np.bitwise_or(b1, b2), bits)
+
+
+def test_bloom_semijoin_superset_of_exact(ray_session):
+    """The Bloom prefilter passes every true semi-join row (no false
+    negatives) with a small bounded surplus of false positives."""
+    import duckdb
+
+    from eristropy_ray.pipelines.queries import q_bloom_semijoin
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bloom_semijoin(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    exact = con.execute(
+        """
+        SELECT event_id FROM events
+        WHERE event_type = 'click' AND user_id IN (
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+        """
+    ).df()
+    got_ids = set(got["event_id"])
+    exact_ids = set(exact["event_id"])
+    assert exact_ids <= got_ids  # no false negatives
+    n_clicks = con.execute(
+        "SELECT COUNT(*) c FROM events WHERE event_type='click'"
+    ).df()["c"][0]
+    assert len(got_ids - exact_ids) <= 0.02 * n_clicks  # tiny FP surplus
