@@ -117,6 +117,8 @@ def bloom_build(values: np.ndarray, m_bits: int, n_hashes: int = 4) -> np.ndarra
     Filters merge by bitwise OR (commutative monoid), so per-batch
     partials combine in any order — the semi-join build side reduces to
     one m/8-byte row per batch regardless of row count."""
+    if m_bits % 8:
+        raise ValueError(f"m_bits must be a multiple of 8, got {m_bits}")
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     if values.size == 0:
         return bits

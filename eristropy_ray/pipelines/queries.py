@@ -225,6 +225,16 @@ _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r']
 _WS_TOKEN_PAT = r"[^ \t\n\f\r]+"
 
 
+def _parquet_rows(path_glob: str) -> int:
+    """Exact row count from parquet footer metadata — no data scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    paths = _glob.glob(path_glob) or [path_glob]
+    return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 def _sql_regex(pat: str) -> str:
     """SQL string literal of a Python regex: the escapes (\t etc.) are
     already literal backslash sequences RE2 understands; only quotes need
@@ -727,34 +737,49 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
 
     a_ids = pairs_pd["doc_a"].to_numpy()
     b_ids = pairs_pd["doc_b"].to_numpy()
-    cand_ids = np.unique(np.concatenate([a_ids, b_ids]))
-    pair_map: dict[int, list[tuple[int, int]]] = {}
-    for pid_i, (a, b) in enumerate(zip(a_ids, b_ids)):
-        pair_map.setdefault(int(a), []).append((pid_i, 0))
-        pair_map.setdefault(int(b), []).append((pid_i, 1))
-    pairs_ref = _ray_mod.put((cand_ids, pair_map, a_ids, b_ids))
+    # candidate id -> (pair, side) map as SORTED flat numpy arrays (CSR
+    # layout): zero-copy through the object store, and the tag stage
+    # below is fully vectorized (searchsorted + repeat), no per-doc
+    # Python. Two refs so each stage ships only what it reads.
+    n_pairs = a_ids.size
+    occ_doc = np.concatenate([a_ids, b_ids])
+    occ_pid = np.tile(np.arange(n_pairs, dtype=np.int64), 2)
+    occ_side = np.repeat(np.array([0, 1], dtype=np.int64), n_pairs)
+    order = np.argsort(occ_doc, kind="stable")
+    occ_doc, occ_pid, occ_side = occ_doc[order], occ_pid[order], occ_side[order]
+    cand_ids, starts = np.unique(occ_doc, return_index=True)
+    offsets = np.append(starts, occ_doc.size).astype(np.int64)
+    tag_ref = _ray_mod.put((cand_ids, offsets, occ_pid, occ_side))
+    pairs_ref = _ray_mod.put((a_ids, b_ids))
 
     def tag_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        cids, pmap, _, _ = _ray_mod.get(pairs_ref)
-        # vectorized membership filter first: the per-doc Python loop
-        # below touches only CANDIDATE docs (output-scale), never the
-        # full corpus stream
-        sub = df[np.isin(df["doc_id"].to_numpy(), cids)]
-        rows = {"pid": [], "side": [], "text": [], "part": []}
-        for did, text in zip(sub["doc_id"], sub["text"]):
-            for pid_i, side in pmap.get(int(did), ()):
-                rows["pid"].append(pid_i)
-                rows["side"].append(side)
-                rows["text"].append(text)
-                rows["part"].append(pid_i % _NPARTS)
-        return pd.DataFrame(rows).astype(
-            {"pid": "int64", "side": "int64", "part": "int64"}
+        cids, offs, o_pid, o_side = _ray_mod.get(tag_ref)
+        ids = df["doc_id"].to_numpy()
+        sub = df[np.isin(ids, cids)]
+        idx = np.searchsorted(cids, sub["doc_id"].to_numpy())
+        counts = offs[idx + 1] - offs[idx]
+        # flat occurrence indices for each candidate row's slice
+        flat = (
+            np.repeat(offs[idx], counts)
+            + np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
         )
+        return pd.DataFrame(
+            {
+                "pid": o_pid[flat],
+                "side": o_side[flat],
+                "text": pd.Series(
+                    np.repeat(sub["text"].to_numpy(dtype=object), counts),
+                    dtype=object,
+                ),
+                "part": o_pid[flat] % _NPARTS,
+            }
+        ).astype({"pid": "int64", "side": "int64", "part": "int64"})
 
     tagged = docs.map_batches(tag_candidates, batch_format="pandas")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, p_a, p_b = _ray_mod.get(pairs_ref)
+        p_a, p_b = _ray_mod.get(pairs_ref)
         df = df.drop(columns=["part"])
         a_rows = df[df["side"] == 0][["pid", "text"]].rename(
             columns={"text": "text_a"}
@@ -1320,12 +1345,24 @@ def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
         bits = bloom_build(uid, m_bits)
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
-    parts = ev.map_batches(build_partial, batch_format="pyarrow").take_all()
-    merged = np.zeros(m_bits // 8, dtype=np.uint8)
-    for row in parts:  # one m/8-byte row per batch: OR-merge on driver
-        np.bitwise_or(
-            merged, np.frombuffer(row["bits"], dtype=np.uint8), out=merged
-        )
+    def or_combine(b: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for payload in b["bits"].to_pylist():
+            np.bitwise_or(acc, np.frombuffer(payload, dtype=np.uint8), out=acc)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    # two-level in-Ray OR fold: per-batch filter rows combine inside
+    # worker tasks (64 rows -> 1), then one final task folds the few
+    # survivors — the driver receives exactly ONE m/8-byte row, never a
+    # per-batch stream (the OR monoid makes any fold tree equivalent)
+    folded = (
+        ev.map_batches(build_partial, batch_format="pyarrow")
+        .map_batches(or_combine, batch_format="pyarrow", batch_size=64)
+        .repartition(1)
+        .map_batches(or_combine, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    merged = np.frombuffer(folded[0]["bits"], dtype=np.uint8).copy()
     bref = ray.put(merged)
 
     def probe(b: pa.Table) -> pa.Table:
@@ -1358,6 +1395,7 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
     pinned against exact counts in tests/test_datapipe.py. Rows-only:
     approximate by design."""
     from eristropy_ray.datapipe.sketch import mg_merge, mg_summary
+    from eristropy_ray.datapipe.textstats import content_hash64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
@@ -1367,13 +1405,42 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
         items, counts = mg_summary(
             vc.index.to_numpy(dtype=object), vc.to_numpy(), k_summary
         )
-        return pd.DataFrame({"word": items.astype(str), "est": counts})
+        # deterministic fan-in key: summaries scatter over _NPARTS merge
+        # groups, keyed on this batch's OWN content (the top word would
+        # be identical across batches and collapse the fan-in)
+        part = (
+            int(content_hash64(df["text"].iloc[0][:64])) % _NPARTS
+            if len(df)
+            else 0
+        )
+        return pd.DataFrame(
+            {"word": items.astype(str), "est": counts,
+             "part": np.full(items.size, part, dtype=np.int64)}
+        )
 
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        items, counts = mg_merge(
+            [(df["word"].to_numpy(dtype=object),
+              df["est"].to_numpy(dtype=np.int64))],
+            k_summary,
+        )
+        return pd.DataFrame({"word": items.astype(str), "est": counts}).astype(
+            {"est": "int64"}
+        )
+
+    merge_group.__name__ = "mg_merge_group"
+    # tree reduce: batch summaries -> per-part MG merges (each emits at
+    # most k rows) -> the driver receives <= _NPARTS x k rows and does
+    # the final merge — bounded regardless of corpus size (any MG merge
+    # tree preserves the n/k undercount bound)
     candidates = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("word")
-        .aggregate(Sum("est", alias_name="est"))
-        .to_pandas()  # <= n_batches x k_summary rows: the legal pinch
+        .groupby("part")
+        .map_groups(
+            lambda df: merge_group(df.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
     )
     items, counts = mg_merge(
         [(candidates["word"].to_numpy(dtype=object),
@@ -1941,8 +2008,13 @@ def q_order_segments_join(sf_dir: str):
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    # partition count scales with the BIG side (~50k rows/partition,
+    # floor 8) from parquet footers — a constant would bottleneck each
+    # partition at 1/k of the orders table regardless of cluster size
+    n_parts = max(8, _parquet_rows(f"{sf_dir}/orders.parquet") // 50_000)
     joined = orders.join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, "inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
     )
 
     def project(b: pa.Table) -> pa.Table:
