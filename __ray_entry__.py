@@ -62,13 +62,17 @@ def entry() -> Any:
     """Flagship pipeline (multi-file zero-shuffle colocated rollup) on
     /root/testdata/sf0.01; returns a Dataset of rollup rows."""
     from eristropy_ray.pipelines.rollup import rollup_files_colocated
+    from eristropy_ray.raylog import install_empty_schema_warning_filter
 
+    install_empty_schema_warning_filter()
     return rollup_files_colocated(_colocated_files("/root/testdata/sf0.01"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from eristropy_ray.pipelines.queries import QUERIES
+    from eristropy_ray.raylog import install_empty_schema_warning_filter
 
+    install_empty_schema_warning_filter()
     return dict(QUERIES)
 
 

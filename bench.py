@@ -139,6 +139,9 @@ def main() -> None:
     )
     from ray.data import DataContext
 
+    from eristropy_ray.raylog import install_empty_schema_warning_filter
+
+    install_empty_schema_warning_filter()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 

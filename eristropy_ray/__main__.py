@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
         )
     from ray.data import DataContext
 
+    from eristropy_ray.raylog import install_empty_schema_warning_filter
+
+    install_empty_schema_warning_filter()
     DataContext.get_current().enable_progress_bars = False
 
     from eristropy_ray.config import RollupConfig

@@ -5,11 +5,14 @@ over a long-format signal Dataset (signal_id, ts_us, value[, tie]):
 
 - ``compute_all_sampen`` ≈ ``SampleEntropy.compute_all_sampen``
   (sample_entropy.py:346-402): optional TPE optimization of (m, r, p)
-  with sequential trials on the driver over the GATHERED signal table
-  (TPE conditions on history, like the reference's optuna loop; see the
-  honest scale note on ``_collect_signals`` — optimize on a bounded
-  sample at corpus scale), then per-signal SampEn (± bootstrap SE),
-  which IS distributed.
+  with sequential trials on the driver over a BOUNDED gathered signal
+  sample (TPE conditions on history, like the reference's optuna loop;
+  the gather is capped at ``sample_cap`` signals via a deterministic
+  stride — see ``_collect_signals``), then per-signal SampEn
+  (± bootstrap SE) fanned out through ``_grouped`` with the scalar
+  (m*, r*, p*) broadcast in the partition closure. Counter-keyed
+  bootstrap seeds (``stable_key``) make the SE placement-independent,
+  so the distributed pass is bit-identical to a driver loop.
 - ``sampen_efficiency`` ≈ ``SampEnEfficiency.compute_all_sampen``
   (extras.py:227-274): (signal × r-grid) fan-out of the Lake efficiency
   score (each partition hoists its signals once — the reference re-extracts
@@ -31,6 +34,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from eristropy_ray.kernels.bootstrap import stable_key
@@ -104,19 +108,73 @@ class SampEnConfig:
             )
 
 
-def _collect_signals(signals: rd.Dataset | pd.DataFrame) -> list[tuple[object, np.ndarray]]:
-    """Driver-side (signal_id, ordered values) list.
+#: Default bound on how many signals the TPE optimizer may gather to the
+#: driver. The study is driver-held by design (each trial conditions on
+#: all prior trials, like the reference's optuna loop), so its input must
+#: stay driver-memory-sized no matter how large the corpus is.
+DEFAULT_SAMPLE_CAP = 1024
 
-    HONEST SCALE NOTE: the TPE study is driver-held by design (like the
-    reference's optuna loop — each trial's parameters depend on all prior
-    trials), and this helper gathers the FULL signal table onto the
-    driver, so optimization is bounded by driver memory. At corpus scale
-    the supported pattern is optimizing on a bounded signal sample and
-    applying the resulting (m*, r*, p*) to the full table via the
-    distributed ``compute_all_sampen`` path — the per-signal SampEn/SE
-    computation itself never gathers.
+
+def _signal_lengths(signals: rd.Dataset) -> pd.DataFrame:
+    """Per-signal row counts as a small driver frame (signal_id, n).
+
+    One count-only pass: each batch emits per-signal partial counts
+    (#signals × #blocks scalar rows travel, never values), summed on the
+    driver. Null signal_ids are dropped (groupby dropna semantics,
+    matching ``_sorted_groups``)."""
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("signal_id", dropna=True, sort=False).size()
+        out = g.rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = signals.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"signal_id": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    return (
+        parts.groupby("signal_id", sort=True)["n"].sum().astype("int64")
+        .reset_index()
+    )
+
+
+def _stride_sample(ids: list, cap: int) -> list:
+    """Deterministic stride pick of ≤ ``cap`` items from a sorted id list
+    (the same evenly-spaced scheme as the IVF trainer's bounded sample)."""
+    n = len(ids)
+    if n <= cap:
+        return list(ids)
+    idx = (np.arange(cap, dtype=np.int64) * n) // cap
+    return [ids[int(i)] for i in idx]
+
+
+def _collect_signals(
+    signals: rd.Dataset | pd.DataFrame, sample_cap: int | None = None
+) -> list[tuple[object, np.ndarray]]:
+    """Driver-side (signal_id, ordered values) list, optionally capped.
+
+    With ``sample_cap`` set and a Dataset input holding more signals than
+    the cap, a deterministic stride over the sorted signal ids picks the
+    sample and ONLY those signals' rows are gathered (broadcast id set +
+    streaming filter); the full table never lands on the driver. This is
+    the enforced form of the bounded-optimization pattern: the TPE study
+    conditions on history so it is driver-held, but its input is a
+    bounded sample — the per-signal SampEn/SE pass itself never gathers.
     """
     if isinstance(signals, rd.Dataset):
+        if sample_cap is not None:
+            lengths = _signal_lengths(signals)
+            keep = _stride_sample(lengths["signal_id"].tolist(), sample_cap)
+            if len(keep) < len(lengths):
+                keep_ref = ray.put(set(keep))
+
+                def filter_sampled(df: pd.DataFrame) -> pd.DataFrame:
+                    return df[df["signal_id"].isin(ray.get(keep_ref))]
+
+                signals = signals.map_batches(
+                    filter_sampled, batch_format="pandas"
+                )
         df = signals.to_pandas()
     else:
         df = signals
@@ -183,29 +241,99 @@ def find_optimal_sampen_params(
     )
 
 
+def _make_sampen_final_partition(
+    m: int, r: float, p: float | None, n_boot: int, seed: int,
+    estimate_uncertainty: bool,
+):
+    """Per-partition final pass: SampEn (± bootstrap SE) for every signal
+    of a hash partition. (m, r, p) are three scalars captured in the
+    closure — the broadcast is the task args, no table ships. Also emits
+    n_obs so the driver can enforce the min-length guard without a
+    separate counting scan."""
+    from eristropy_ray.stages.signals import _sorted_groups
+
+    def sampen_final(df: pd.DataFrame) -> pd.DataFrame:
+        sdf, starts, _ = _sorted_groups(df)
+        v = sdf["value"].to_numpy(dtype=np.float64)
+        ends = np.append(starts[1:], v.size)
+        out: dict = {"signal_id": [], "n_obs": [], "sampen": []}
+        if estimate_uncertainty:
+            out["se_sampen"] = []
+        for s, e in zip(starts, ends):
+            sid = sdf["signal_id"].iloc[s]
+            x = v[s:e]
+            out["signal_id"].append(sid)
+            out["n_obs"].append(int(e - s))
+            out["sampen"].append(sampen(x, m, r))
+            if estimate_uncertainty:
+                out["se_sampen"].append(
+                    sampen_bootstrap_se(
+                        x, m, r, float(p), n_boot, seed=seed,
+                        key=stable_key(sid),
+                    )
+                )
+        res = pd.DataFrame(out)
+        if res.empty:  # typed empty block (keeps Ray block schemas stable)
+            res = res.astype(
+                {"n_obs": "int64", "sampen": "float64"}
+                | ({"se_sampen": "float64"} if estimate_uncertainty else {})
+            )
+        return res
+
+    return sampen_final
+
+
 def compute_all_sampen(
     signals: rd.Dataset | pd.DataFrame,
     cfg: SampEnConfig = SampEnConfig(),
     optimize: bool = False,
     estimate_uncertainty: bool = False,
+    sample_cap: int = DEFAULT_SAMPLE_CAP,
 ) -> tuple[pd.DataFrame, dict]:
     """O4: per-signal SampEn (± bootstrap SE) with given/optimized params.
 
     Returns (result frame, info) where info carries m_star_/r_star_/p_star_
     and the optimizer trials frame when optimization ran.
+
+    Dataset inputs are processed distributed end-to-end: the optimizer
+    (when requested) gathers at most ``sample_cap`` signals chosen by a
+    deterministic stride, and the final estimation pass fans out through
+    ``_grouped`` with the scalar stars in the closure — the full signal
+    table never lands on the driver. DataFrame inputs (the reference's
+    local API shape, sample_entropy.py:346) run the identical kernels
+    in-process.
     """
-    collected = _collect_signals(signals)
-    if not collected:
-        raise ValueError("no signals")
-    min_len = min(x.size for _, x in collected)
-    if cfg.m_range[1] > min_len:
-        raise ValueError(
-            "The upper limit of m_range cannot exceed the length of the "
-            "shortest time series."
+    is_ds = isinstance(signals, rd.Dataset)
+    if is_ds:
+        # one materialization: the optimizer sample and the final pass
+        # would otherwise re-execute the upstream lineage twice
+        signals = signals.materialize()
+        collected = (
+            _collect_signals(signals, sample_cap=sample_cap) if optimize
+            else None
         )
+    else:
+        collected = _collect_signals(signals)
+        if not collected:
+            raise ValueError("no signals")
+        min_len = min(x.size for _, x in collected)
+        if cfg.m_range[1] > min_len:
+            raise ValueError(
+                "The upper limit of m_range cannot exceed the length of "
+                "the shortest time series."
+            )
 
     info: dict = {"m_star_": cfg.m, "r_star_": cfg.r, "p_star_": cfg.p}
     if optimize:
+        if is_ds and not collected:
+            raise ValueError("no signals")
+        if is_ds:
+            min_len = min(x.size for _, x in collected)
+            if cfg.m_range[1] > min_len:
+                raise ValueError(
+                    "The upper limit of m_range cannot exceed the length "
+                    "of the shortest time series."
+                )
         best, opt = find_optimal_sampen_params(collected, cfg)
         info.update(
             m_star_=best["m"], r_star_=best["r"], p_star_=best["p"],
@@ -224,6 +352,28 @@ def compute_all_sampen(
             "Cannot estimate uncertainty without a stationary bootstrap "
             "probability value."
         )
+
+    if is_ds:
+        fn = _make_sampen_final_partition(
+            int(m_star), float(r_star),
+            None if p_star is None else float(p_star),
+            cfg.n_boot, cfg.random_seed or 0, estimate_uncertainty,
+        )
+        result = (
+            _grouped(signals, fn)
+            .to_pandas()  # output-scale: one row per signal
+            .sort_values("signal_id", kind="stable")
+            .reset_index(drop=True)
+        )
+        if result.empty:
+            raise ValueError("no signals")
+        # guard enforced post-hoc: same ValueError, one pass over the data
+        if cfg.m_range[1] > int(result["n_obs"].min()):
+            raise ValueError(
+                "The upper limit of m_range cannot exceed the length of "
+                "the shortest time series."
+            )
+        return result.drop(columns=["n_obs"]), info
 
     rows = {"signal_id": [], "sampen": []}
     if estimate_uncertainty:

@@ -125,6 +125,54 @@ def test_boundary_warnings():
         SampEnConfig(n_boot=5, n_trials=100)  # low n_boot
 
 
+def test_collect_signals_sample_cap(ray_session):
+    """Optimization input is a bounded gather: >cap signals in a Dataset
+    collect to exactly cap, deterministically (stride over sorted ids)."""
+    import ray.data as rd
+
+    df = _normal_signals(n_sig=30, n=40)
+    ds = rd.from_pandas(df)
+    got1 = _collect_signals(ds, sample_cap=10)
+    got2 = _collect_signals(rd.from_pandas(df), sample_cap=10)
+    assert len(got1) == 10
+    assert [s for s, _ in got1] == [s for s, _ in got2]
+    # uncapped DataFrame collection still returns everything
+    assert len(_collect_signals(df)) == 30
+
+
+def test_dataset_final_pass_matches_dataframe(ray_session):
+    """The distributed final pass (Dataset input -> _grouped fan-out) is
+    bit-identical to the local DataFrame loop: same kernels, same ordered
+    series, placement-independent counter-keyed bootstrap seeds."""
+    import ray.data as rd
+
+    df = _normal_signals(n_sig=6, n=120)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(m=2, r=0.2, p=0.5, n_boot=20, n_trials=5,
+                           random_seed=11)
+    local, _ = compute_all_sampen(df, cfg, estimate_uncertainty=True)
+    dist, _ = compute_all_sampen(
+        rd.from_pandas(df), cfg, estimate_uncertainty=True
+    )
+    pd.testing.assert_frame_equal(
+        local.sort_values("signal_id").reset_index(drop=True),
+        dist.sort_values("signal_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_dataset_min_length_guard(ray_session):
+    import ray.data as rd
+
+    df = _normal_signals(n_sig=2, n=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(m=2, r=0.2, n_boot=10, n_trials=5)
+    with pytest.raises(ValueError, match="shortest"):
+        compute_all_sampen(rd.from_pandas(df), cfg)
+
+
 def test_sampen_efficiency(ray_session):
     import ray.data as rd
 
