@@ -108,11 +108,14 @@ class IVFIndex:
                 out_ids.append(np.empty(0, dtype=np.int64))
                 out_sims.append(np.empty(0))
                 continue
-            sims = vecs_cat @ q[i]
+            # rank on ROUNDED similarity with id tie-break — the same
+            # reproducible total order the distributed q_ann_ivf and the
+            # SQL oracle use (raw-sim ranking is BLAS-layout-sensitive
+            # in the last ulp; 4-decimal selection is stable)
+            sims = np.round(vecs_cat @ q[i], 4)
             k_eff = min(k, sims.size)
-            part = np.argpartition(-sims, k_eff - 1)[:k_eff]
-            order = np.lexsort((ids_cat[part], -sims[part]))
-            sel = part[order]
+            order = np.lexsort((ids_cat, -sims))
+            sel = order[:k_eff]
             out_ids.append(ids_cat[sel])
             out_sims.append(sims[sel])
         return out_ids, out_sims

@@ -785,9 +785,10 @@ def test_bloom_filter_properties():
     np.testing.assert_array_equal(np.bitwise_or(b1, b2), bits)
 
 
-def test_bloom_semijoin_superset_of_exact(ray_session):
-    """The Bloom prefilter passes every true semi-join row (no false
-    negatives) with a small bounded surplus of false positives."""
+def test_bloom_semijoin_is_exact(ray_session):
+    """Bloom prefilter + exact verification of survivors = the exact
+    semi-join row set (the Bloom stage's own zero-FN / bounded-FP
+    contract is pinned separately in test_bloom_filter_properties)."""
     import duckdb
 
     from eristropy_ray.pipelines.queries import q_bloom_semijoin
@@ -805,10 +806,4 @@ def test_bloom_semijoin_superset_of_exact(ray_session):
           SELECT user_id FROM events WHERE event_type = 'purchase')
         """
     ).df()
-    got_ids = set(got["event_id"])
-    exact_ids = set(exact["event_id"])
-    assert exact_ids <= got_ids  # no false negatives
-    n_clicks = con.execute(
-        "SELECT COUNT(*) c FROM events WHERE event_type='click'"
-    ).df()["c"][0]
-    assert len(got_ids - exact_ids) <= 0.02 * n_clicks  # tiny FP surplus
+    assert set(got["event_id"]) == set(exact["event_id"])
