@@ -124,7 +124,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         expected = height * (width * channels + 1)
         dec = zlib.decompressobj()
         raw_bytes = dec.decompress(bytes(idat), expected)
-        if not dec.eof and dec.unconsumed_tail:
+        # any extra inflated output means the stream overruns the
+        # IHDR-declared size — whether it is still waiting in
+        # unconsumed_tail OR already buffered from consumed input
+        # (flush surfaces the latter; both must reject uniformly)
+        if not dec.eof and (dec.unconsumed_tail or dec.flush(1)):
             raise ValueError("PNG IDAT inflates past the declared size")
         raw = np.frombuffer(raw_bytes, dtype=np.uint8)
     except (struct.error, zlib.error) as exc:

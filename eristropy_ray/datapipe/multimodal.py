@@ -100,9 +100,12 @@ class BinaryFeatureStage:
                 except ValueError:
                     embs.append(np.full(self.dim, np.nan))
                     ok.append(False)
-            cols["decode_ok"] = pa.array(ok, pa.bool_())
         else:
             embs = [fake_embedding(p or b"", self.dim) for p in payloads]
+            # fake extraction always "decodes"; emitting the column in
+            # both modes keeps ONE output schema across extractors
+            ok = [True] * len(payloads)
+        cols["decode_ok"] = pa.array(ok, pa.bool_())
         cols["embedding"] = pa.array(
             [e.tolist() for e in embs], pa.list_(pa.float64())
         )

@@ -756,6 +756,17 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
         cids, offs, o_pid, o_side = _ray_mod.get(tag_ref)
         ids = df["doc_id"].to_numpy()
         sub = df[np.isin(ids, cids)]
+        if sub.empty:
+            # pre-typed empty frame: Ray's block-size estimator chokes on
+            # dtype-less zero-row outputs (np.vectorize otypes warning)
+            return pd.DataFrame(
+                {
+                    "pid": pd.Series(dtype="int64"),
+                    "side": pd.Series(dtype="int64"),
+                    "text": pd.Series(dtype=object),
+                    "part": pd.Series(dtype="int64"),
+                }
+            )
         idx = np.searchsorted(cids, sub["doc_id"].to_numpy())
         counts = offs[idx + 1] - offs[idx]
         # flat occurrence indices for each candidate row's slice
@@ -1452,7 +1463,9 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
     from eristropy_ray.datapipe.sketch import mg_merge, mg_summary
     from eristropy_ray.datapipe.textstats import content_hash64
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].str.findall(_WS_TOKEN_PAT).explode().dropna()
@@ -1460,11 +1473,12 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
         items, counts = mg_summary(
             vc.index.to_numpy(dtype=object), vc.to_numpy(), k_summary
         )
-        # deterministic fan-in key: summaries scatter over _NPARTS merge
-        # groups, keyed on this batch's OWN content (the top word would
-        # be identical across batches and collapse the fan-in)
+        # deterministic fan-in key from the batch's MIN doc_id — unique
+        # per batch even on dup-heavy corpora (keying on leading TEXT
+        # would collapse the fan-in to one merge group when many batches
+        # start with identical boilerplate)
         part = (
-            int(content_hash64(df["text"].iloc[0][:64])) % _NPARTS
+            int(content_hash64(str(int(df["doc_id"].min())))) % _NPARTS
             if len(df)
             else 0
         )
@@ -1559,9 +1573,12 @@ def q_split_contamination(sf_dir: str):
 def q_repetition(sf_dir: str, k: int = 10):
     """Per-document repetition ratio: 1 - distinct/total character
     k-grams — the boilerplate/spam quality signal. Stateless vectorized
-    pass (rolling polynomial hashes, np.unique); the ratio is an int/int
-    division so the substring-based SQL twin matches bit-for-bit."""
-    from eristropy_ray.datapipe.textstats import rolling_kgram_hashes
+    pass; distinct counts the ACTUAL k-char substrings (UTF-32 sliding
+    windows uniqued as fixed-width byte records), not their hashes, so
+    the substring-based SQL twin matches UNCONDITIONALLY — no rolling-
+    hash collision can undercount. The ratio is an int/int division,
+    bit-identical to the SQL CAST(... AS DOUBLE) / n."""
+    from numpy.lib.stride_tricks import sliding_window_view
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -1569,9 +1586,15 @@ def q_repetition(sf_dir: str, k: int = 10):
         total = np.empty(len(df), dtype=np.int64)
         distinct = np.empty(len(df), dtype=np.int64)
         for i, t in enumerate(df["text"]):
-            h = rolling_kgram_hashes(t, k) if len(t) >= k else np.empty(0)
-            total[i] = h.size
-            distinct[i] = np.unique(h).size
+            if len(t) < k:
+                total[i] = 0
+                distinct[i] = 0
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            win = np.ascontiguousarray(sliding_window_view(cp, k))
+            recs = win.view(np.dtype((np.void, k * 4))).ravel()
+            total[i] = recs.size
+            distinct[i] = np.unique(recs).size
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(dtype=np.int64),

@@ -41,6 +41,24 @@ from eristropy_ray.stages.rollup import (
 from eristropy_ray.state.manifest import Manifest
 from eristropy_ray.state.metrics import MetricsLog
 
+
+def _footer_rows(path: str) -> int:
+    """Exact row count of a written parquet dir from footer metadata —
+    no data re-scan (the write already streamed the rows once; counting
+    metrics must not read them back)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, n)
+                ).metadata.num_rows
+    return total
+
 TRANSCRIPT_READ_COLUMNS = ["conv_id", "turn_idx", "text", "ts"]
 
 
@@ -321,8 +339,8 @@ def run_rollup_job(
             blocks_path = str(out / "blocks" / f"shard={shard_id}")
             blocks = fused_rollup_encode_colocated(files, rows_path, cfg, enc_cfg)
             blocks.write_parquet(blocks_path, partition_cols=["tier"])
-            n_rows = rd.read_parquet(rows_path).count()
-            n_blocks = rd.read_parquet(blocks_path).count()
+            n_rows = _footer_rows(rows_path)
+            n_blocks = _footer_rows(blocks_path)
             t1 = time.time()
             # one emission for the fused stage so the shared wall time is
             # not double-counted in lineage totals
@@ -347,7 +365,7 @@ def run_rollup_job(
         rollup_written = rd.read_parquet(rows_path).select_columns(
             list(ROLLUP_COLUMNS)
         )
-        n_rows = rollup_written.count()
+        n_rows = _footer_rows(rows_path)
         t1 = time.time()
         metrics.emit(
             stage="rollup", shard=shard_id, rows_out=n_rows,
@@ -358,7 +376,7 @@ def run_rollup_job(
         blocks_path = str(out / "blocks" / f"shard={shard_id}")
         blocks = encode_dataset(rollup_written, cfg, enc_cfg)
         blocks.write_parquet(blocks_path, partition_cols=["tier"])
-        n_blocks = rd.read_parquet(blocks_path).count()
+        n_blocks = _footer_rows(blocks_path)
         t2 = time.time()
         metrics.emit(
             stage="encode", shard=shard_id, rows_out=n_blocks,
