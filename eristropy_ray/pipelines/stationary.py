@@ -64,7 +64,11 @@ class StationaryConfig:
     # "numba": T4 semantics (shared candidate draw, unnormalized target);
     # "cv_search": de-bugged T5 semantics (per-signal RandomizedSearchCV-
     # style draw, fold-local normalize_y, 1e-10 jitter) — see
-    # kernels/gp.py:detrend_gp_cv_search for the documented divergences
+    # kernels/gp.py:detrend_gp_cv_search for the documented divergences.
+    # "sklearn" is accepted as an alias for "cv_search": it names the
+    # reference variant this path conforms to (SURVEY §2.3 T5,
+    # reference gp.py:18-113) with the id-column bug (gp.py:104)
+    # corrected — the alias normalizes in __post_init__.
     gp_implementation: str = "numba"
 
     def __post_init__(self) -> None:
@@ -72,8 +76,12 @@ class StationaryConfig:
             raise ValueError("method must be 'difference' or 'detrend'")
         if self.detrend_type not in ("lr", "gp"):
             raise ValueError("detrend_type must be 'lr' or 'gp'")
+        if self.gp_implementation == "sklearn":
+            object.__setattr__(self, "gp_implementation", "cv_search")
         if self.gp_implementation not in ("numba", "cv_search"):
-            raise ValueError("gp_implementation must be 'numba' or 'cv_search'")
+            raise ValueError(
+                "gp_implementation must be 'numba', 'cv_search' or 'sklearn'"
+            )
         if not 0 < self.alpha < 1:
             raise ValueError("alpha must be in (0, 1)")
         if self.ls_range[0] <= 0 or self.ls_range[0] >= self.ls_range[1]:

@@ -220,3 +220,21 @@ def test_cv_search_pipeline_variant(ray_session):
     b, _ = run("numba")
     if len(a1) and len(a1) == len(b):
         assert not np.array_equal(a1["value"].to_numpy(), b["value"].to_numpy())
+
+
+def test_sklearn_alias_normalizes_to_cv_search():
+    """gp_implementation='sklearn' (the reference T5 variant's name) is a
+    config alias for the de-bugged 'cv_search' path; bad names still
+    raise with all three accepted values listed."""
+    import pytest
+
+    from eristropy_ray.pipelines.stationary import StationaryConfig
+
+    cfg = StationaryConfig(
+        method="detrend", detrend_type="gp", gp_implementation="sklearn"
+    )
+    assert cfg.gp_implementation == "cv_search"
+    with pytest.raises(ValueError, match="sklearn"):
+        StationaryConfig(
+            method="detrend", detrend_type="gp", gp_implementation="scikit"
+        )
