@@ -633,7 +633,6 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     the emitted jaccard is an unrounded int/int double division on both
     sides.
     """
-    import itertools
     import logging
 
     from eristropy_ray.datapipe.dedup import (
@@ -664,27 +663,40 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     banded = docs.map_batches(sign, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # drop singleton buckets vectorized before the per-bucket loop
-        sizes = df.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
-        df = df[sizes >= 2]
-        pairs: set[tuple[int, int]] = set()
-        n_over = 0
-        for _, g in df.groupby(["band_id", "band_hash"]):
-            ids = sorted(set(g["doc_id"]))
-            if len(ids) > bucket_cap:  # pathological bucket: count, don't pair
-                n_over += 1
-                continue
-            if len(ids) < 2:
-                continue
-            pairs.update(itertools.combinations(ids, 2))
-        rows = sorted(pairs)
-        out = pd.DataFrame(
-            {
-                "doc_a": [a for a, _ in rows],
-                "doc_b": [b for _, b in rows],
-            },
-            dtype="int64",
-        )
+        # fully vectorized within the partition: bucket codes + sizes via
+        # ngroup/bincount, then segment-local all-pairs expansion (each
+        # id-sorted element at local position p is the b-side of p pairs
+        # with all earlier elements of its bucket) — no Python loop over
+        # LSH buckets
+        df = df.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        codes = df.groupby(["band_id", "band_hash"], sort=False).ngroup().to_numpy()
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        sizes = np.bincount(codes) if codes.size else np.empty(0, np.int64)
+        n_over = int((sizes > bucket_cap).sum())
+        keep = ((sizes >= 2) & (sizes <= bucket_cap))[codes] if codes.size else codes.astype(bool)
+        codes, ids = codes[keep], ids[keep]
+        if ids.size:
+            _, codes = np.unique(codes, return_inverse=True)
+            seg_sizes = np.bincount(codes)
+            starts = np.concatenate(([0], np.cumsum(seg_sizes)[:-1]))
+            pos = np.arange(ids.size) - starts[codes]
+            b_side = np.repeat(ids, pos)
+            firsts = np.cumsum(pos) - pos
+            a_idx = np.repeat(starts[codes], pos) + (
+                np.arange(int(pos.sum())) - np.repeat(firsts, pos)
+            )
+            out = (
+                pd.DataFrame({"doc_a": ids[a_idx], "doc_b": b_side})
+                .drop_duplicates()
+                .astype({"doc_a": "int64", "doc_b": "int64"})
+            )
+        else:
+            out = pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64")}
+            )
         if n_over:  # sentinel row; filtered + logged driver-side
             out = pd.concat(
                 [out, pd.DataFrame({"doc_a": [-1], "doc_b": [n_over]})],
