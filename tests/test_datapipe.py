@@ -807,3 +807,33 @@ def test_bloom_semijoin_is_exact(ray_session):
         """
     ).df()
     assert set(got["event_id"]) == set(exact["event_id"])
+
+
+def test_binary_feature_schema_identical_across_extractors():
+    """Both extractor modes emit the SAME output schema (decode_ok
+    included in fake mode too) so downstream stages written against one
+    mode cannot silently break against the other."""
+    t = pa.table(
+        {
+            "item_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"\x00\x01"], pa.binary()),
+        }
+    )
+    fake = BinaryFeatureStage(extractor="fake")(t)
+    real = BinaryFeatureStage(extractor="real")(t)
+    assert fake.schema.names == real.schema.names
+    assert fake["decode_ok"].to_pylist() == [True]
+
+
+def test_heavy_hitters_fanin_spreads_on_duplicate_text(ray_session):
+    """Batches with identical text must NOT collapse into one merge
+    group: the fan-in key derives from each batch's min doc_id."""
+    from eristropy_ray.datapipe.textstats import content_hash64
+
+    nparts = 32
+    boiler = "the same boilerplate text repeated everywhere"
+    parts = {
+        int(content_hash64(str(min_id))) % nparts
+        for min_id in (0, 1000, 2000, 3000, 4000, 5000, 6000, 7000)
+    }
+    assert len(parts) > 1, "identical-text batches still collapse"
