@@ -924,7 +924,9 @@ def _ivf_route(
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    n_total = emb.count()
+    # footer-metadata row count — sizing the sample stride must not cost
+    # a full scan of the embedding table
+    n_total = _parquet_rows(f"{sf_dir}/embeddings.parquet")
     # power-of-2 stride so the mask is a cheap bit_wise_and
     stride = 1
     while n_total // stride > sample_cap:
