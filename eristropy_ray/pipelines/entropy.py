@@ -305,9 +305,12 @@ def compute_all_sampen(
     """
     is_ds = isinstance(signals, rd.Dataset)
     if is_ds:
-        # one materialization: the optimizer sample and the final pass
-        # would otherwise re-execute the upstream lineage twice
-        signals = signals.materialize()
+        if optimize:
+            # one materialization ONLY when there are two consumers (the
+            # optimizer sample and the final pass would otherwise
+            # re-execute the upstream lineage twice); the optimize=False
+            # path streams straight through the single final pass
+            signals = signals.materialize()
         collected = (
             _collect_signals(signals, sample_cap=sample_cap) if optimize
             else None
