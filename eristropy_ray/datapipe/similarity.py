@@ -111,11 +111,18 @@ class IVFIndex:
             # rank on ROUNDED similarity with id tie-break — the same
             # reproducible total order the distributed q_ann_ivf and the
             # SQL oracle use (raw-sim ranking is BLAS-layout-sensitive
-            # in the last ulp; 4-decimal selection is stable)
+            # in the last ulp; 4-decimal selection is stable). O(C)
+            # selection: argpartition to the k-th rounded value, widen
+            # to all boundary ties, full sort only on that small head.
             sims = np.round(vecs_cat @ q[i], 4)
             k_eff = min(k, sims.size)
-            order = np.lexsort((ids_cat, -sims))
-            sel = order[:k_eff]
+            if sims.size > k_eff:
+                head = np.argpartition(-sims, k_eff - 1)[:k_eff]
+                cand = np.flatnonzero(sims >= sims[head].min())
+            else:
+                cand = np.arange(sims.size)
+            order = np.lexsort((ids_cat[cand], -sims[cand]))
+            sel = cand[order[:k_eff]]
             out_ids.append(ids_cat[sel])
             out_sims.append(sims[sel])
         return out_ids, out_sims

@@ -108,11 +108,15 @@ class SampEnConfig:
             )
 
 
-#: Default bound on how many signals the TPE optimizer may gather to the
-#: driver. The study is driver-held by design (each trial conditions on
-#: all prior trials, like the reference's optuna loop), so its input must
-#: stay driver-memory-sized no matter how large the corpus is.
+#: Default bounds on the TPE optimizer's driver gather. The study is
+#: driver-held by design (each trial conditions on all prior trials,
+#: like the reference's optuna loop), so its input must stay
+#: driver-memory-sized no matter how large the corpus is: the SIGNAL cap
+#: bounds how many series are sampled, and the ROW cap bounds their
+#: total point count (long-series corpora would otherwise blow the
+#: driver through the signal cap alone). 8M float64 points ≈ 64 MB.
 DEFAULT_SAMPLE_CAP = 1024
+DEFAULT_SAMPLE_ROW_CAP = 8_000_000
 
 
 def _signal_lengths(signals: rd.Dataset) -> pd.DataFrame:
@@ -150,23 +154,47 @@ def _stride_sample(ids: list, cap: int) -> list:
 
 
 def _collect_signals(
-    signals: rd.Dataset | pd.DataFrame, sample_cap: int | None = None
+    signals: rd.Dataset | pd.DataFrame,
+    sample_cap: int | None = None,
+    row_cap: int | None = None,
+    lengths: pd.DataFrame | None = None,
 ) -> list[tuple[object, np.ndarray]]:
     """Driver-side (signal_id, ordered values) list, optionally capped.
 
-    With ``sample_cap`` set and a Dataset input holding more signals than
-    the cap, a deterministic stride over the sorted signal ids picks the
-    sample and ONLY those signals' rows are gathered (broadcast id set +
-    streaming filter); the full table never lands on the driver. This is
-    the enforced form of the bounded-optimization pattern: the TPE study
-    conditions on history so it is driver-held, but its input is a
-    bounded sample — the per-signal SampEn/SE pass itself never gathers.
+    With caps set and a Dataset input, a deterministic stride over the
+    sorted signal ids picks at most ``sample_cap`` signals, then the
+    stride sample is prefix-trimmed so its TOTAL row count stays within
+    ``row_cap`` (at least one signal is always kept — a single series is
+    the smallest unit the optimizer can condition on), and ONLY those
+    signals' rows are gathered (broadcast id set + streaming filter);
+    the full table never lands on the driver regardless of signal count
+    OR series length. This is the enforced form of the
+    bounded-optimization pattern: the TPE study conditions on history so
+    it is driver-held, but its input is a bounded sample — the
+    per-signal SampEn/SE pass itself never gathers. ``lengths`` lets the
+    caller reuse an already-computed ``_signal_lengths`` frame.
     """
     if isinstance(signals, rd.Dataset):
-        if sample_cap is not None:
-            lengths = _signal_lengths(signals)
-            keep = _stride_sample(lengths["signal_id"].tolist(), sample_cap)
-            if len(keep) < len(lengths):
+        if sample_cap is not None or row_cap is not None:
+            if lengths is None:
+                lengths = _signal_lengths(signals)
+            ids = lengths["signal_id"].tolist()
+            keep = (
+                _stride_sample(ids, sample_cap)
+                if sample_cap is not None
+                else list(ids)
+            )
+            if row_cap is not None and len(keep) > 1:
+                n_by_id = dict(zip(ids, lengths["n"].tolist()))
+                total = 0
+                trimmed = []
+                for sid in keep:
+                    total += n_by_id[sid]
+                    if trimmed and total > row_cap:
+                        break
+                    trimmed.append(sid)
+                keep = trimmed
+            if len(keep) < len(ids):
                 keep_ref = ray.put(set(keep))
 
                 def filter_sampled(df: pd.DataFrame) -> pd.DataFrame:
@@ -305,16 +333,30 @@ def compute_all_sampen(
     """
     is_ds = isinstance(signals, rd.Dataset)
     if is_ds:
+        collected = None
         if optimize:
             # one materialization ONLY when there are two consumers (the
             # optimizer sample and the final pass would otherwise
             # re-execute the upstream lineage twice); the optimize=False
             # path streams straight through the single final pass
             signals = signals.materialize()
-        collected = (
-            _collect_signals(signals, sample_cap=sample_cap) if optimize
-            else None
-        )
+            # the count-only lengths pass serves both the FULL-corpus
+            # min-length guard (enforced BEFORE the optimizer and the
+            # distributed fan-out burn any work — a too-short signal
+            # outside the stride sample must fail fast, matching the
+            # reference's gathered-table guard) and the bounded gather
+            lengths = _signal_lengths(signals)
+            if lengths.empty:
+                raise ValueError("no signals")
+            if cfg.m_range[1] > int(lengths["n"].min()):
+                raise ValueError(
+                    "The upper limit of m_range cannot exceed the length "
+                    "of the shortest time series."
+                )
+            collected = _collect_signals(
+                signals, sample_cap=sample_cap,
+                row_cap=DEFAULT_SAMPLE_ROW_CAP, lengths=lengths,
+            )
     else:
         collected = _collect_signals(signals)
         if not collected:
@@ -328,15 +370,6 @@ def compute_all_sampen(
 
     info: dict = {"m_star_": cfg.m, "r_star_": cfg.r, "p_star_": cfg.p}
     if optimize:
-        if is_ds and not collected:
-            raise ValueError("no signals")
-        if is_ds:
-            min_len = min(x.size for _, x in collected)
-            if cfg.m_range[1] > min_len:
-                raise ValueError(
-                    "The upper limit of m_range cannot exceed the length "
-                    "of the shortest time series."
-                )
         best, opt = find_optimal_sampen_params(collected, cfg)
         info.update(
             m_star_=best["m"], r_star_=best["r"], p_star_=best["p"],

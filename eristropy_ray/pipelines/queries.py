@@ -897,6 +897,12 @@ def q_knn_all(sf_dir: str, k: int = 5):
     return ds.map_batches(topk, batch_format="pyarrow")
 
 
+#: Default IVF cell count, shared by q_ann_ivf's signature and the
+#: full-probe registered variant — the "ann_ivf" oracle is only valid
+#: while its n_probe equals the cell count, so both must read ONE name.
+_IVF_N_CELLS = 16
+
+
 def _ivf_route(
     sf_dir: str,
     n_cells: int,
@@ -1006,7 +1012,7 @@ def _ivf_route(
 def q_ann_ivf(
     sf_dir: str,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int = _IVF_N_CELLS,
     n_probe: int = 4,
     sample_cap: int = 4096,
     n_super: int | None = None,
@@ -1140,13 +1146,13 @@ def q_ann_ivf_fullprobe(sf_dir: str):
     order). The approximate default (n_probe=4) keeps its own pins:
     parity with the single-process IVFIndex and recall vs brute force in
     tests/test_datapipe.py."""
-    return q_ann_ivf(sf_dir, n_probe=16)
+    return q_ann_ivf(sf_dir, n_probe=_IVF_N_CELLS)
 
 
 def q_embedding_neardup_ivf(
     sf_dir: str,
     tau: float = 0.45,
-    n_cells: int = 16,
+    n_cells: int = _IVF_N_CELLS,
     n_probe: int = 8,
     sample_cap: int = 4096,
     n_super: int | None = None,
@@ -1373,15 +1379,18 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
 
 def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
     """Semi-join via a Bloom prefilter plus exact verification: click
-    events by users who made a purchase. The build side folds to ONE
-    OR-mergeable m/8-byte Bloom row per batch — at 100 TB this is what
-    prunes the probe stream when the build side is too big to broadcast
-    raw — and, alongside it, the DISTINCT purchaser id set (a
-    union-mergeable fold, user-dimension-sized: orders of magnitude
-    smaller than the event stream it summarizes). Probe applies the
-    Bloom mask first (the cheap prefilter every row pays), then
-    re-checks survivors against the exact id set, so the output is the
-    EXACT semi-join (oracle-checked); the Bloom stage's zero-FN /
+    events by users who made a purchase. ONE fold over the build side
+    produces two mergeable summaries per batch: the OR-mergeable
+    m/8-byte Bloom bits (fixed size) and the union-mergeable DISTINCT
+    purchaser id set (user-dimension-sized — it grows with distinct
+    users, not with the event stream, and is the explicit scale bound of
+    the exact-verify side). Probe applies the Bloom mask first (4 cheap
+    hash probes per row prune non-members before the log-n sorted-set
+    lookup survivors pay), then re-checks survivors against the exact
+    set, so the output is the EXACT semi-join (oracle-checked). When the
+    distinct build side outgrows a broadcast, the documented pattern is
+    the same Bloom prefilter with a hash-partitioned join as the verify
+    stage instead of the broadcast set; the Bloom stage's zero-FN /
     bounded-FP contract keeps its own pin in tests/test_datapipe.py."""
     import ray
 

@@ -210,3 +210,42 @@ def test_tpe_lite_divergence_from_optuna_is_intentional(ray_session):
     best18, _ = find_optimal_sampen_params(_collect_signals(df), cfg18)
     assert best17a == best17b
     assert best17a != best18  # seeds steer the search
+
+
+def test_collect_signals_row_cap(ray_session):
+    """The optimizer gather is bounded in ROWS too: long-series corpora
+    must not blow the driver through the signal cap alone. The stride
+    sample is prefix-trimmed to the row budget, keeping >= 1 signal."""
+    import ray.data as rd
+
+    df = _normal_signals(n_sig=10, n=50)  # 500 rows total
+    got = _collect_signals(rd.from_pandas(df), sample_cap=10, row_cap=120)
+    assert 1 <= len(got) <= 3  # 50 rows/signal -> at most 2 fit + first
+    assert sum(x.size for _, x in got) <= 120 or len(got) == 1
+    # a single giant signal is still gathered (smallest unit)
+    got1 = _collect_signals(rd.from_pandas(df), sample_cap=1, row_cap=10)
+    assert len(got1) == 1
+
+
+def test_optimize_min_length_guard_checks_full_corpus(ray_session):
+    """A too-short signal OUTSIDE the stride sample must fail fast,
+    before the optimizer or the distributed final pass run — the guard
+    reads the full count-only lengths frame, not the gathered sample."""
+    import ray.data as rd
+
+    df = _normal_signals(n_sig=8, n=60)
+    # shrink one signal below m_range's upper bound; with sample_cap
+    # small and stride over sorted ids, craft it mid-range
+    short_id = sorted(df["signal_id"].unique())[3]
+    df = pd.concat(
+        [df[df["signal_id"] != short_id],
+         df[df["signal_id"] == short_id].head(2)],
+        ignore_index=True,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SampEnSettingWarning)
+        cfg = SampEnConfig(n_boot=10, n_trials=3, random_seed=3)
+    with pytest.raises(ValueError, match="shortest"):
+        compute_all_sampen(
+            rd.from_pandas(df), cfg, optimize=True, sample_cap=2
+        )

@@ -81,6 +81,10 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
+    from eristropy_ray.raylog import install_empty_schema_warning_filter
+
+    install_empty_schema_warning_filter()
+
     from eristropy_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     con = duckdb.connect()
