@@ -113,6 +113,51 @@ def q_doc_len(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_doc_len_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99)
+):
+    """EXACT corpus doc-length quantiles via a mergeable histogram.
+
+    The 100 TB shape for percentile cutoffs (quality filters pick "drop
+    below P5 / above P99 length" thresholds): each batch collapses to
+    (length, count) partial rows — the exchange is value-domain-sized
+    (distinct lengths × blocks), independent of corpus row count — one
+    small groupby sums them, and the driver finish interpolates on the
+    cumulative histogram (value-domain-sized, the same legal
+    small-result pinch as the other sketch finishes, but EXACT: integer
+    value domains need no GK/t-digest approximation). Interpolation
+    mirrors DuckDB's quantile_cont bit-for-bit (convex combination
+    lo*(1-f) + hi*f at h=(n-1)*q, fuzz-pinned in tests)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lens = df["text"].str.len().to_numpy(dtype=np.int64)
+        u, c = np.unique(lens, return_counts=True)
+        return pd.DataFrame({"len": u, "cnt": c.astype("int64")})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("len")
+        .sum("cnt")
+        .to_pandas()
+    )
+    cnt_col = "sum(cnt)" if "sum(cnt)" in hist.columns else "cnt"
+    hist = hist.sort_values("len").reset_index(drop=True)
+    lens = hist["len"].to_numpy(dtype=np.float64)
+    cum = hist[cnt_col].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = {"q": [], "value": []}
+    for q in qs:
+        h = (n - 1) * q
+        i = int(np.floor(h))
+        f = h - i
+        lo = lens[np.searchsorted(cum, i, side="right")]
+        hi = lens[np.searchsorted(cum, min(i + 1, n - 1), side="right")]
+        out["q"].append(float(q))
+        out["value"].append(lo * (1.0 - f) + hi * f)
+    return pd.DataFrame(out).astype({"q": "float64", "value": "float64"})
+
+
 def q_difference(sf_dir: str):
     """T2 per-signal first difference (difference.py:29-81)."""
     return _grouped(_events_signals(sf_dir), difference_partition).select_columns(
@@ -2378,6 +2423,7 @@ QUERIES = {
     "signal_counts": q_signal_counts,
     "min_signal_length": q_min_signal_length,
     "doc_len": q_doc_len,
+    "doc_len_quantiles": q_doc_len_quantiles,
     "difference": q_difference,
     "zscore": q_zscore,
     "rollup_1h": q_rollup_1h,
@@ -2624,6 +2670,15 @@ FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+    # unnest of two same-length lists in one SELECT zips in DuckDB, so
+    # each q lands beside its quantile; interpolation parity with
+    # quantile_cont is fuzz-pinned in tests/test_queries_registry.py.
+    "doc_len_quantiles": """
+SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q,
+       unnest(quantile_cont(length(text),
+                            [0.25, 0.5, 0.75, 0.95, 0.99])) AS value
+FROM documents
 """,
     # The IVF-bucketed scale path recovers the exact pair set at
     # n_probe=8/16 (recall 1.0 asserted in tests/test_datapipe.py on

@@ -25,6 +25,34 @@ def test_every_oracle_has_a_query():
 
 
 def test_registry_counts():
-    # 45 hash-exact + 12 rows-only; update deliberately when adding ops
-    assert sum(k in ORACLE_SQL for k in QUERIES) == 45
-    assert len(QUERIES) == 57
+    # 46 hash-exact + 12 rows-only; update deliberately when adding ops
+    assert sum(k in ORACLE_SQL for k in QUERIES) == 46
+    assert len(QUERIES) == 58
+
+
+def test_quantile_interpolation_matches_duckdb():
+    """The histogram-finish interpolation (convex combination
+    lo*(1-f) + hi*f at h=(n-1)*q) is bit-identical to DuckDB's
+    quantile_cont on integer value domains — the premise of
+    doc_len_quantiles' hash-exact oracle."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    con = duckdb.connect()
+    for _ in range(40):
+        n = int(rng.integers(1, 300))
+        vals = np.sort(rng.integers(0, 4000, size=n)).astype(np.float64)
+        con.execute("DROP TABLE IF EXISTS t")
+        con.execute("CREATE TABLE t(v BIGINT)")
+        con.execute("INSERT INTO t SELECT unnest($1)", [[int(v) for v in vals]])
+        qs = sorted(float(x) for x in rng.random(4))
+        got = con.execute(
+            "SELECT quantile_cont(v, $1::DOUBLE[]) FROM t", [qs]
+        ).fetchone()[0]
+        for q, g in zip(qs, got):
+            h = (n - 1) * q
+            i = int(np.floor(h))
+            f = h - i
+            lo, hi = vals[i], vals[min(i + 1, n - 1)]
+            assert lo * (1 - f) + hi * f == g
