@@ -41,6 +41,7 @@ def _hash_part(ids: np.ndarray) -> np.ndarray:
 
 US_1H = 3_600_000_000
 US_1D = 86_400_000_000
+_BAND_JOIN_WINDOW_US = 600_000_000  # band_join window; SQL twin generated
 
 
 def _events_signals(sf_dir: str) -> rd.Dataset:
@@ -1422,33 +1423,32 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     return top.map_batches(finalize, batch_format="pyarrow")
 
 
-def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
-    """Semi-join via a Bloom prefilter plus exact verification: click
-    events by users who made a purchase. ONE fold over the build side
-    produces two mergeable summaries per batch: the OR-mergeable
-    m/8-byte Bloom bits (fixed size) and the union-mergeable DISTINCT
-    purchaser id set (user-dimension-sized — it grows with distinct
-    users, not with the event stream, and is the explicit scale bound of
-    the exact-verify side). Probe applies the Bloom mask first (4 cheap
-    hash probes per row prune non-members before the log-n sorted-set
-    lookup survivors pay), then re-checks survivors against the exact
-    set, so the output is the EXACT semi-join (oracle-checked). When the
-    distinct build side outgrows a broadcast, the documented pattern is
-    the same Bloom prefilter with a hash-partitioned join as the verify
-    stage instead of the broadcast set; the Bloom stage's zero-FN /
-    bounded-FP contract keeps its own pin in tests/test_datapipe.py."""
+def _uid_key(t: pa.Table) -> np.ndarray:
+    return t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _purchaser_fold(ev: rd.Dataset, m_bits: int, key_of=_uid_key):
+    """ONE fold over the build side producing two mergeable summaries
+    per batch: the OR-mergeable m/8-byte Bloom bits (fixed size) and the
+    union-mergeable DISTINCT purchaser key set (key-dimension-sized — it
+    grows with distinct keys, not with the event stream, and is the
+    explicit scale bound of the exact-verify side). Two-level in-Ray
+    fold: per-batch summary rows combine inside worker tasks
+    (64 rows -> 1), then one final task folds the few survivors — the
+    driver receives exactly ONE summary row, never a per-batch stream
+    (OR / set-union monoids make any fold tree equivalent). Returns a
+    shared object ref to ``(bloom_bits, sorted_exact_keys)`` — broadcast
+    once via ``ray.put``, read by every probe task. ``key_of`` maps the
+    purchase-filtered batch to its int64 join key (plain user id for the
+    semi-join; a composite (user, day) key for the anti-join). Shared by
+    the semi- and anti-join probes."""
     import ray
 
-    from eristropy_ray.datapipe.sketch import bloom_build, bloom_contains
-
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "value", "event_type"],
-    )
+    from eristropy_ray.datapipe.sketch import bloom_build
 
     def build_partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["event_type"], "purchase"))
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = key_of(t)
         bits = bloom_build(uid, m_bits)
         return pa.table(
             {
@@ -1476,11 +1476,6 @@ def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
             }
         )
 
-    # two-level in-Ray fold: per-batch summary rows combine inside
-    # worker tasks (64 rows -> 1), then one final task folds the few
-    # survivors — the driver receives exactly ONE summary row, never a
-    # per-batch stream (OR / set-union monoids make any fold tree
-    # equivalent)
     folded = (
         ev.map_batches(build_partial, batch_format="pyarrow")
         .map_batches(combine, batch_format="pyarrow", batch_size=64)
@@ -1490,7 +1485,30 @@ def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
     )
     merged = np.frombuffer(folded[0]["bits"], dtype=np.uint8).copy()
     exact_ids = np.frombuffer(folded[0]["ids"], dtype=np.int64).copy()
-    bref = ray.put((merged, exact_ids))
+    return ray.put((merged, exact_ids))
+
+
+def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
+    """Semi-join via a Bloom prefilter plus exact verification: click
+    events by users who made a purchase. Probe applies the Bloom mask
+    first (4 cheap hash probes per row prune non-members before the
+    log-n sorted-set lookup survivors pay), then re-checks survivors
+    against the exact purchaser set from the same fold
+    (``_purchaser_fold``), so the output is the EXACT semi-join
+    (oracle-checked). When the distinct build side outgrows a broadcast,
+    the documented pattern is the same Bloom prefilter with a
+    hash-partitioned join as the verify stage instead of the broadcast
+    set; the Bloom stage's zero-FN / bounded-FP contract keeps its own
+    pin in tests/test_datapipe.py."""
+    import ray
+
+    from eristropy_ray.datapipe.sketch import bloom_contains
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    bref = _purchaser_fold(ev, m_bits)
 
     def probe(b: pa.Table) -> pa.Table:
         bits, exact = ray.get(bref)
@@ -1505,6 +1523,69 @@ def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
             exact[pos_c] == uid if exact.size else False
         )
         t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    return ev.map_batches(probe, batch_format="pyarrow")
+
+
+def _user_day_key(t: pa.Table) -> np.ndarray:
+    """Composite int64 (user, epoch-day) key: ``user_id * 2^21 + day``.
+    Injective while ``day < 2^21`` (valid until year 7729) and
+    ``user_id < 2^42`` — both documented premises of the anti-join's
+    exactness (a 100-TB deployment with wider ids would widen the key to
+    two int64 columns and a hash-partitioned verify join instead)."""
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // US_1D
+    return uid * (1 << 21) + day
+
+
+def q_anti_join(sf_dir: str, m_bits: int = 1 << 17):
+    """Anti-join — the complement of ``q_bloom_semijoin``: click events
+    on (user, day) pairs with NO purchase by that user that day
+    (completing the join family: inner `order_segments_join`,
+    broadcast-dim `orders_by_segment`, as-of `asof_purchase_click`,
+    range `clicks_before_purchase` / `band_join`, semi `bloom_semijoin`,
+    anti here). Day-scoped because the dense synthetic corpus gives
+    every user every event type — a user-only anti-join is degenerately
+    empty at every sf.
+
+    The Bloom filter's zero-false-negative contract flips roles on the
+    anti side: ``bloom_contains(key) == False`` PROVES non-membership,
+    so the no-purchase-that-day majority keeps rows without ever
+    touching the exact set — only the Bloom-positive minority pays the
+    log-n sorted-set verify that separates true members (drop) from
+    false positives (keep). Build side is the same single
+    ``_purchaser_fold`` broadcast over composite (user, day) keys;
+    output is the EXACT anti-join (oracle-checked NOT EXISTS twin)."""
+    import ray
+
+    from eristropy_ray.datapipe.sketch import bloom_contains
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    bref = _purchaser_fold(ev, m_bits, key_of=_user_day_key)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits, exact = ray.get(bref)
+        t = b.filter(pc.equal(b["event_type"], "click"))
+        key = _user_day_key(t)
+        maybe = bloom_contains(bits, key)  # False => provably no purchase
+        member = np.zeros(key.size, dtype=bool)
+        if maybe.any() and exact.size:
+            cand = key[maybe]
+            pos = np.searchsorted(exact, cand)
+            pos_c = np.minimum(pos, exact.size - 1)
+            member[maybe] = (pos < exact.size) & (exact[pos_c] == cand)
+        t = t.filter(pa.array(~member))
         return pa.table(
             {
                 "event_id": pc.cast(t["event_id"], pa.int64()),
@@ -2380,6 +2461,98 @@ def q_clicks_before_purchase(sf_dir: str):
     return typed.groupby("part").map_groups(wrapper, batch_format="pandas")
 
 
+def q_band_join(sf_dir: str, window_us: int = _BAND_JOIN_WINDOW_US):
+    """KEYLESS time-band interval join: for each 'purchase' event, the
+    count of clicks by ANY user in the preceding 10 minutes
+    ``[ts - window, ts)``. Unlike ``clicks_before_purchase`` (which
+    hash-partitions on the user equality key), there is NO equality key
+    here — the scalable plan is the classic band replication: with band
+    width B == window, each click replicates to bands ``floor(t/B)`` and
+    ``floor(t/B)+1`` (a bounded 2x of the probe-side stream, key-free),
+    purchases route to their own band only, and every purchase's window
+    is fully covered by its single band group (``t >= p - B`` implies
+    ``floor(t/B) >= floor(p/B) - 1``) with no double counting (each
+    click copy carries a distinct band value). Bands hash-partition into
+    ``part`` buckets; inside a partition one composite-key sort
+    ``band * 2B + (t - band*B + B)`` (offset is in ``[-B, B)`` so the
+    key is collision-free and fits int64) makes the per-purchase count a
+    pair of global ``searchsorted`` calls — fully vectorized, no Python
+    loop over bands."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    B = window_us
+
+    def route(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_p = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        is_c = pc.equal(b["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        )
+        band = np.concatenate(
+            [ts[is_p] // B, ts[is_c] // B, ts[is_c] // B + 1]
+        )
+        out = pa.table(
+            {
+                "band": pa.array(band, pa.int64()),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(int(is_p.sum()), np.int64),
+                            np.zeros(2 * int(is_c.sum()), np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "ts_us": pa.array(
+                    np.concatenate([ts[is_p], ts[is_c], ts[is_c]]), pa.int64()
+                ),
+                "event_id": pa.array(
+                    np.concatenate(
+                        [eid[is_p], np.full(2 * int(is_c.sum()), -1, np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "part": pa.array(_hash_part(band), pa.int64()),
+            }
+        )
+        return out
+
+    def band_partition(df: pd.DataFrame) -> pd.DataFrame:
+        band = df["band"].to_numpy(dtype=np.int64)
+        kind = df["kind"].to_numpy(dtype=np.int64)
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        c = kind == 0
+        # composite key: band-major, in-band offset in [-B, B) shifted
+        # non-negative — one sort serves every band segment at once
+        ckey = np.sort(band[c] * (2 * B) + (ts[c] - band[c] * B + B))
+        pb, pt = band[~c], ts[~c]
+        pkey_hi = pb * (2 * B) + (pt - pb * B + B)
+        n = np.searchsorted(ckey, pkey_hi, side="left") - np.searchsorted(
+            ckey, pkey_hi - B, side="left"
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64)[~c],
+                "ts_us": pt,
+                "n_clicks_10m": n.astype(np.int64),
+            }
+        )
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return band_partition(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "band_partition"
+    return (
+        ev.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
+    )
+
+
 def q_user_value_median(sf_dir: str):
     """Per-user exact median (order statistic; both engines average the
     two middle elements of the identical sorted doubles)."""
@@ -2448,6 +2621,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf_fullprobe,
     "vocab_topk": q_vocab_topk,
     "bloom_semijoin": q_bloom_semijoin,
+    "anti_join": q_anti_join,
     "pii_counts": q_pii_counts,
     "clean_corpus": q_clean_corpus,
     "hopping_window": q_hopping_window,
@@ -2465,6 +2639,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "asof_purchase_click": q_asof_purchase_click,
     "clicks_before_purchase": q_clicks_before_purchase,
+    "band_join": q_band_join,
     "user_value_median": q_user_value_median,
     # --- rows-only (non-SQL-expressible or approximate by design;
     #     each pinned by ported-reference / golden pytest coverage) ---
@@ -2820,6 +2995,26 @@ SELECT p.event_id, p.user_id, p.ts_us,
                           AND c.cts < p.ts_us THEN 1 END), 0) AS BIGINT) AS n_clicks_1h
 FROM p LEFT JOIN c ON p.user_id = c.user_id
 GROUP BY p.event_id, p.user_id, p.ts_us
+""",
+    "band_join": f"""
+WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT epoch_us(ts) AS cts
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.ts_us,
+       CAST(COUNT(c.cts) AS BIGINT) AS n_clicks_10m
+FROM p LEFT JOIN c
+  ON c.cts >= p.ts_us - {_BAND_JOIN_WINDOW_US}
+ AND c.cts < p.ts_us
+GROUP BY p.event_id, p.ts_us
+""",
+    "anti_join": f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+FROM events e
+WHERE event_type = 'click' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+    AND epoch_us(p.ts) // {US_1D} = epoch_us(e.ts) // {US_1D})
 """,
     "user_value_median": """
 SELECT user_id AS signal_id, MEDIAN(value) AS value_median

@@ -809,6 +809,59 @@ def test_bloom_semijoin_is_exact(ray_session):
     assert set(got["event_id"]) == set(exact["event_id"])
 
 
+def test_anti_join_complements_purchase_user_days(ray_session):
+    """q_anti_join = clicks on (user, day) pairs with no purchase —
+    brute-force pandas oracle; together with the semi-join this pins
+    that the shared _purchaser_fold + Bloom probe machinery is exact on
+    BOTH polarities (zero-FN makes bloom-negative a proof of keep)."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import US_1D, q_anti_join
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // US_1D
+    purchases = set(
+        map(tuple, ev[ev.event_type == "purchase"][["user_id", "day"]].values)
+    )
+    clicks = ev[ev.event_type == "click"]
+    expect = {
+        int(r.event_id)
+        for r in clicks.itertuples()
+        if (r.user_id, r.day) not in purchases
+    }
+    got = q_anti_join(sf).to_pandas()
+    assert set(got["event_id"]) == expect
+    assert len(expect) > 0  # non-degenerate on the test corpus
+
+
+def test_band_join_counts_match_bruteforce(ray_session):
+    """Keyless time-band interval join vs an O(n^2) numpy oracle: every
+    purchase's strictly-preceding-10-minute any-user click count, and
+    the replicate-to-two-bands plan introduces no duplicates or drops."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import (
+        _BAND_JOIN_WINDOW_US,
+        q_band_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ts = ev["ts"].astype("int64")
+    cts = np.sort(ts[ev.event_type == "click"].to_numpy())
+    p = ev[ev.event_type == "purchase"]
+    pts = ts[ev.event_type == "purchase"].to_numpy()
+    lo = np.searchsorted(cts, pts - _BAND_JOIN_WINDOW_US, side="left")
+    hi = np.searchsorted(cts, pts, side="left")
+    expect = dict(zip(p["event_id"].astype(int), (hi - lo).astype(int)))
+    got = q_band_join(sf).to_pandas()
+    assert len(got) == len(expect)  # one row per purchase, no dups
+    assert dict(zip(got["event_id"].astype(int),
+                    got["n_clicks_10m"].astype(int))) == expect
+    assert got["n_clicks_10m"].max() > 0  # non-degenerate corpus
+
+
 def test_binary_feature_schema_identical_across_extractors():
     """Both extractor modes emit the SAME output schema (decode_ok
     included in fake mode too) so downstream stages written against one

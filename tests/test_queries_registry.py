@@ -25,9 +25,9 @@ def test_every_oracle_has_a_query():
 
 
 def test_registry_counts():
-    # 46 hash-exact + 12 rows-only; update deliberately when adding ops
-    assert sum(k in ORACLE_SQL for k in QUERIES) == 46
-    assert len(QUERIES) == 58
+    # 48 hash-exact + 12 rows-only; update deliberately when adding ops
+    assert sum(k in ORACLE_SQL for k in QUERIES) == 48
+    assert len(QUERIES) == 60
 
 
 def test_quantile_interpolation_matches_duckdb():
