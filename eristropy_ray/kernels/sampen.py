@@ -109,12 +109,17 @@ def sampen(x: np.ndarray, m: int = 2, r: float = 0.2) -> float:
     Returns:
         ``-log(A/B)`` or NaN when no (m+1)-template pair matches (this
         includes every case with ``n <= m+1``, where no pair can exist).
+        NaN-bearing signals also return NaN: the pipeline rejects them at
+        the validation boundary (reference ``validation.py:43-49``), so a
+        NaN here is outside the defined domain — the matrix path's
+        all-True-diagonal count correction would otherwise be invalid
+        (``|NaN-NaN| < r`` is False) and the two paths would diverge.
     """
     x = np.ascontiguousarray(x, dtype=np.float64)
     if x.ndim != 1:
         raise ValueError("x must be 1-D")
     n = x.size
-    if n <= m + 1:
+    if n <= m + 1 or np.isnan(x).any():
         return math.nan
     if n <= SAMPEN_MATRIX_MAX_N:
         return _sampen_matrix(x, m, r)

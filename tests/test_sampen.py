@@ -83,6 +83,14 @@ def test_no_match_nan():
     assert math.isnan(sampen(x, 2, 1e-9))
 
 
+def test_nan_input_returns_nan():
+    # NaN signals are rejected at the validation boundary; the kernel
+    # must return NaN (both paths consistently), never raise from the
+    # matrix path's diagonal count correction.
+    x = np.array([1.0, np.nan, 2.0, 3.0] * 5)
+    assert math.isnan(sampen(x, 2, 0.2))
+
+
 def test_rejects_2d():
     with pytest.raises(ValueError):
         sampen(np.zeros((3, 3)), 2, 0.2)
