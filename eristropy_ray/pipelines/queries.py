@@ -15,6 +15,7 @@ Ray is initialised by the caller — never here.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pandas as pd
@@ -44,9 +45,38 @@ US_1D = 86_400_000_000
 _BAND_JOIN_WINDOW_US = 600_000_000  # band_join window; SQL twin generated
 
 
+@_lru_cache(maxsize=256)
+def _clean_schema(path: str, columns: tuple[str, ...] | None) -> pa.Schema:
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
+
+
+def _read(path: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """``rd.read_parquet`` with the file's ``b'pandas'`` schema metadata
+    stripped via an explicit pruned schema override.
+
+    The driver-generated testdata carries pandas metadata, and a
+    ``pa.Schema`` WITH metadata is unhashable (``hash`` raises on the
+    metadata dict), so every downstream block-schema dedup — sort /
+    groupby / join concats — logs Ray's "Failed to hash the schemas"
+    warning and pays full schema unification per concat instead of the
+    hashable early exit. Passing ``schema=`` keeps the read a pure read
+    op (``count()`` stays a parquet-footer fast path; a strip-metadata
+    ``map_batches`` would not) and costs one cached driver-side footer
+    read per (path, columns)."""
+    cols = None if columns is None else tuple(columns)
+    return rd.read_parquet(
+        path, columns=columns, schema=_clean_schema(path, cols), **kw
+    )
+
+
 def _events_signals(sf_dir: str) -> rd.Dataset:
     """events -> (signal_id, ts_us, value, tie, part)."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
 
@@ -78,7 +108,7 @@ def _grouped(ds: rd.Dataset, fn) -> rd.Dataset:
 
 def q_signal_counts(sf_dir: str):
     """V3-style per-signal sizes + exact min/max (validation surface)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     out = ds.groupby("user_id").aggregate(
         Count(alias_name="n_obs"),
         Min("value", alias_name="value_min"),
@@ -90,7 +120,7 @@ def q_signal_counts(sf_dir: str):
 def q_min_signal_length(sf_dir: str):
     """min group size guard (sample_entropy.py:106-111)."""
     counts = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        _read(f"{sf_dir}/events.parquet", columns=["user_id"])
         .groupby("user_id")
         .aggregate(Count(alias_name="n_obs"))
     )
@@ -101,7 +131,7 @@ def q_min_signal_length(sf_dir: str):
 
 def q_doc_len(sf_dir: str):
     """value = len(text) derivation (the transcript ingest projection)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -129,7 +159,7 @@ def q_doc_len_quantiles(
     value domains need no GK/t-digest approximation). Interpolation
     mirrors DuckDB's quantile_cont bit-for-bit (convex combination
     lo*(1-f) + hi*f at h=(n-1)*q, fuzz-pinned in tests)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         lens = df["text"].str.len().to_numpy(dtype=np.int64)
@@ -176,7 +206,7 @@ def q_zscore(sf_dir: str):
 def _bucket_rollup(sf_dir: str, step_us: int):
     """Continuous-aggregate rollup with the scalable partial-agg pattern:
     exact integer-micro partials per batch, then a small groupby."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
 
@@ -199,7 +229,12 @@ def _bucket_rollup(sf_dir: str, step_us: int):
             value_min=("v", "min"),
             value_max=("v", "max"),
         )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        # metadata=None: from_pandas attaches b'pandas' metadata, which
+        # makes the schema unhashable and defeats the shuffle's
+        # schema-dedup early exit (see _read)
+        return pa.Table.from_pandas(
+            g.reset_index(), preserve_index=False
+        ).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["user_id", "bucket_us"]).aggregate(
@@ -242,13 +277,13 @@ def q_rollup_1d(sf_dir: str):
 
 def q_doc_counts_by_lang(sf_dir: str):
     """Document counts per language label (single pruned-column groupby)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition by content hash, keep min doc_id."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
         h = df["text"].map(
@@ -293,7 +328,7 @@ def q_token_counts(sf_dir: str):
     """Token counting (text-analysis op): whitespace tokens plus a
     BPE-ish pre-tokenizer count (compiled once per worker via the pandas
     str engine; the regex is RE2-compatible so the SQL twin is exact)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -315,7 +350,7 @@ def q_token_counts(sf_dir: str):
 
 def q_quality_scores(sf_dir: str):
     """Quality scoring: exact integer counts + deterministic ratios."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         n_chars = df["text"].str.len().astype("int64")
@@ -356,7 +391,7 @@ def q_similarity_topk(sf_dir: str, k: int = 10):
         raise ValueError("similarity_topk: no row with vec_id=0 in embeddings")
     qref = ray.put(qvec / max(np.sqrt((qvec * qvec).sum()), 1e-30))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def score(b: pa.Table) -> pa.Table:
         import ray as _ray
@@ -426,7 +461,7 @@ def q_transcript_rollup(sf_dir: str):
     from eristropy_ray.pipelines.rollup import rollup_dataset
     from eristropy_ray.sources.transcripts import events_to_transcripts
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read(f"{sf_dir}/events.parquet")
     turns = ds.map_batches(events_to_transcripts, batch_format="pyarrow")
     return rollup_dataset(turns, RollupConfig())
 
@@ -442,7 +477,7 @@ def q_transcript_rollup_stats(sf_dir: str):
     from eristropy_ray.pipelines.rollup import rollup_dataset
     from eristropy_ray.sources.transcripts import events_to_transcripts
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read(f"{sf_dir}/events.parquet")
     turns = ds.map_batches(events_to_transcripts, batch_format="pyarrow")
     rollup = rollup_dataset(turns, RollupConfig())
 
@@ -467,7 +502,7 @@ def _tier_block_ds(sf_dir: str):
     from eristropy_ray.pipelines.rollup import encode_dataset, rollup_dataset
     from eristropy_ray.sources.transcripts import events_to_transcripts
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read(f"{sf_dir}/events.parquet")
     turns = ds.map_batches(events_to_transcripts, batch_format="pyarrow")
     return encode_dataset(rollup_dataset(turns, RollupConfig()))
 
@@ -588,7 +623,7 @@ def q_sampen_efficiency(sf_dir: str):
 def q_doc_bytes(sf_dir: str):
     """Opaque-payload byte length (multimodal metadata op; text treated
     as its utf-8 payload)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -608,7 +643,7 @@ def q_langid(sf_dir: str):
     the synthetic corpus has no language signal to compare labels to)."""
     from eristropy_ray.datapipe.textstats import langid_predict
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -625,7 +660,7 @@ def q_fingerprints(sf_dir: str):
     """Winnowing document fingerprints + whole-doc rolling hash."""
     from eristropy_ray.datapipe.textstats import content_hash64, winnow_fingerprints
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -645,7 +680,7 @@ def q_simhash(sf_dir: str):
     """64-bit SimHash per document (near-dup signature; rows-only)."""
     from eristropy_ray.datapipe.dedup import simhash64
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -688,7 +723,7 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
         word_shingle_hashes,
     )
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sign(df: pd.DataFrame) -> pd.DataFrame:
         sigs = minhash_signature_batch(list(df["text"]), num_perm=64)
@@ -810,19 +845,22 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     tag_ref = _ray_mod.put((cand_ids, offsets, occ_pid, occ_side))
     pairs_ref = _ray_mod.put((a_ids, b_ids))
 
-    def tag_candidates(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_candidates(df: pd.DataFrame) -> pa.Table:
+        # Arrow output (even though the input format is pandas): Ray's
+        # pandas block-size estimator cannot size ANY zero-row object
+        # column (np.vectorize otypes error) — arrow blocks have exact
+        # size accounting, so the frequent no-candidate batches are free.
         cids, offs, o_pid, o_side = _ray_mod.get(tag_ref)
         ids = df["doc_id"].to_numpy()
         sub = df[np.isin(ids, cids)]
         if sub.empty:
-            # pre-typed empty frame: Ray's block-size estimator chokes on
-            # dtype-less zero-row outputs (np.vectorize otypes warning)
-            return pd.DataFrame(
+            empty = np.empty(0, dtype=np.int64)
+            return pa.table(
                 {
-                    "pid": pd.Series(dtype="int64"),
-                    "side": pd.Series(dtype="int64"),
-                    "text": pd.Series(dtype=object),
-                    "part": pd.Series(dtype="int64"),
+                    "pid": pa.array(empty, pa.int64()),
+                    "side": pa.array(empty, pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "part": pa.array(empty, pa.int64()),
                 }
             )
         idx = np.searchsorted(cids, sub["doc_id"].to_numpy())
@@ -833,17 +871,16 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
             + np.arange(int(counts.sum()), dtype=np.int64)
             - np.repeat(np.cumsum(counts) - counts, counts)
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "pid": o_pid[flat],
-                "side": o_side[flat],
-                "text": pd.Series(
-                    np.repeat(sub["text"].to_numpy(dtype=object), counts),
-                    dtype=object,
+                "pid": pa.array(o_pid[flat], pa.int64()),
+                "side": pa.array(o_side[flat], pa.int64()),
+                "text": pa.array(
+                    np.repeat(sub["text"].to_numpy(dtype=object), counts)
                 ),
-                "part": o_pid[flat] % _NPARTS,
+                "part": pa.array(o_pid[flat] % _NPARTS, pa.int64()),
             }
-        ).astype({"pid": "int64", "side": "int64", "part": "int64"})
+        )
 
     tagged = docs.map_batches(tag_candidates, batch_format="pandas")
 
@@ -908,7 +945,7 @@ def q_knn_all(sf_dir: str, k: int = 5):
     unit = emb / np.maximum(norms, 1e-30)
     corpus_ref = ray.put((ids, unit))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def topk(b: pa.Table) -> pa.Table:
         import ray as _ray
@@ -973,7 +1010,7 @@ def _ivf_route(
         unit_rows,
     )
 
-    emb = rd.read_parquet(
+    emb = _read(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     # footer-metadata row count — sizing the sample stride must not cost
@@ -1286,7 +1323,7 @@ def q_embedding_neardup(sf_dir: str, tau: float = 0.45):
     unit = emb / np.maximum(np.sqrt((emb * emb).sum(axis=1, keepdims=True)), 1e-30)
     ref = ray.put((ids, unit))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def pairs(b: pa.Table) -> pa.Table:
         import ray as _ray
@@ -1348,7 +1385,7 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.5, k: int = 3):
     ref = ray.put((ids[order], bits[order], sizes[order]))
     pop = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint16)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def pairs(b: pa.Table) -> pa.Table:
         import ray as _ray
@@ -1390,7 +1427,7 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     per-batch word counts collapse each batch to its distinct words
     BEFORE the shuffle, so the exchange carries (word, partial-count)
     rows, not one row per token. Exact SQL twin via unnest."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].str.findall(_WS_TOKEN_PAT).explode().dropna()
@@ -1504,7 +1541,7 @@ def q_bloom_semijoin(sf_dir: str, m_bits: int = 1 << 17):
 
     from eristropy_ray.datapipe.sketch import bloom_contains
 
-    ev = rd.read_parquet(
+    ev = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value", "event_type"],
     )
@@ -1568,7 +1605,7 @@ def q_anti_join(sf_dir: str, m_bits: int = 1 << 17):
 
     from eristropy_ray.datapipe.sketch import bloom_contains
 
-    ev = rd.read_parquet(
+    ev = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value", "event_type"],
     )
@@ -1612,7 +1649,7 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
     from eristropy_ray.datapipe.sketch import mg_merge, mg_summary
     from eristropy_ray.datapipe.textstats import content_hash64
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1682,7 +1719,7 @@ def q_pii_counts(sf_dir: str):
     pre-scan of a training-data pipeline. One stateless vectorized pass
     (compiled regex, no shuffle); the SQL twin runs the IDENTICAL RE2
     patterns, generated from the same constants."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1729,7 +1766,7 @@ def q_repetition(sf_dir: str, k: int = 10):
     bit-identical to the SQL CAST(... AS DOUBLE) / n."""
     from numpy.lib.stride_tricks import sliding_window_view
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         total = np.empty(len(df), dtype=np.int64)
@@ -1772,7 +1809,7 @@ def q_multimodal_features(sf_dir: str):
     from eristropy_ray.datapipe.media import encode_png, encode_wav
     from eristropy_ray.datapipe.multimodal import BinaryFeatureStage
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def synthesize(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy().astype(np.int64)
@@ -1831,7 +1868,7 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
     of (hash, id, tokens) triples; binary-exact vs a composed SQL twin."""
     from eristropy_ray.datapipe.textstats import langid_predict
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def score_filter(df: pd.DataFrame) -> pd.DataFrame:
         n_chars = df["text"].str.len()
@@ -1872,7 +1909,7 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
     ``map_batches`` (vectorized repeat), exact integer-micro partials
     combine per batch, and one small groupby finishes — the shuffle
     moves per-(user, window) partials, never the exploded rows."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     n_hops = -(-span_us // slide_us)  # ceil: span need not divide slide
@@ -1896,7 +1933,12 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
         g = df.groupby(["signal_id", "window_start_us"], sort=False).agg(
             n_obs=("vmu", "size"), sum_mu=("vmu", "sum")
         )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        # metadata=None: from_pandas attaches b'pandas' metadata, which
+        # makes the schema unhashable and defeats the shuffle's
+        # schema-dedup early exit (see _read)
+        return pa.Table.from_pandas(
+            g.reset_index(), preserve_index=False
+        ).replace_schema_metadata(None)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1947,7 +1989,7 @@ def q_streaming_window(
     stateful vectorized pass per partition (pandas C-level segmented
     cummax for the watermark), partial aggregation before emit.
     """
-    events = rd.read_parquet(
+    events = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "value"],
     )
@@ -2023,7 +2065,7 @@ def q_distinct_users(sf_dir: str):
     partition-local dedup is globally exact), per-partition counts, then
     a P x n_types-row summing groupby. Avoids sorting the full pair set
     on a string key twice."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.drop_duplicates(["event_type", "user_id"]).copy()
@@ -2058,7 +2100,7 @@ def q_distinct_users_approx(sf_dir: str, p: int = 12):
     max inside one tiny groupby."""
     from eristropy_ray.datapipe.sketch import hll_estimate, hll_merge, hll_partial
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"event_type": [], "regs": []}
@@ -2125,7 +2167,7 @@ def q_dataset_split(sf_dir: str):
     agree across engines (DuckDB % truncates, numpy floors); pure int64
     arithmetic on both sides, so the SQL twin is exact. At 100 TB this
     is a stateless map with no shuffle at all."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def fn(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy().astype(np.int64)
@@ -2145,7 +2187,7 @@ def q_dataset_split(sf_dir: str):
 def q_sample_events(sf_dir: str):
     """Deterministic systematic sample (the reproducible analogue of
     random_sample; exact SQL oracle)."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -2166,7 +2208,7 @@ def q_sample_events(sf_dir: str):
 
 def q_top_users(sf_dir: str, k: int = 10):
     """Top-k users by observation count (count desc, user_id asc)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
     counts = ds.groupby("user_id").aggregate(Count(alias_name="n_obs"))
     return counts.sort(["n_obs", "user_id"], descending=[True, False]).limit(k)
 
@@ -2185,7 +2227,7 @@ def q_orders_by_segment(sf_dir: str):
         dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
     )
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -2229,10 +2271,10 @@ def q_order_segments_join(sf_dir: str):
     broadcast map-side variant for small dims): both sides hash-shuffle
     on the key, so this is the plan when neither side fits a broadcast.
     Emits one row per order with its market segment; exact SQL twin."""
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(
+    cust = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     # partition count scales with the BIG side (~50k rows/partition,
@@ -2275,14 +2317,14 @@ def q_rolling_mean(sf_dir: str):
 def q_event_types(sf_dir: str):
     """Distinct values (set op; ds.unique is the same shuffle — done via
     groupby for a deterministic, oracle-matched output)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type"])
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary over lineitem: grouped exact-decimal
     sums and means (classic OLAP shape on the biggest table)."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -2351,7 +2393,7 @@ def _typed_user_events(sf_dir: str) -> rd.Dataset:
     """Shared typed projection for the user-keyed joins (as-of, range):
     (user_id, ts_us, event_id, event_type, part) — ONE definition so the
     join queries can never departition differently."""
-    events = rd.read_parquet(
+    events = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -2478,7 +2520,7 @@ def q_band_join(sf_dir: str, window_us: int = _BAND_JOIN_WINDOW_US):
     key is collision-free and fits int64) makes the per-purchase count a
     pair of global ``searchsorted`` calls — fully vectorized, no Python
     loop over bands."""
-    ev = rd.read_parquet(
+    ev = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
     )
     B = window_us
