@@ -2314,6 +2314,97 @@ def q_rolling_mean(sf_dir: str):
     return _grouped(_events_signals(sf_dir), rolling_mean_partition)
 
 
+def q_running_sum(sf_dir: str):
+    """Cumulative sum per user at every event — the unbounded-frame
+    window aggregate (``SUM OVER (PARTITION BY user ORDER BY ts, id)``),
+    completing the window family: rolling (bounded ROWS frame), hopping,
+    streaming-watermark, session, and now cumulative. One hash shuffle
+    on the user key, then a single global integer-micro cumsum per
+    partition rebased at group starts (segmented prefix sum, no Python
+    loop); ties broken by event_id on both engines."""
+    from eristropy_ray.stages.signals import running_sum_partition
+
+    return _grouped(_events_signals(sf_dir), running_sum_partition)
+
+
+def q_topk_per_user(sf_dir: str, k: int = 3):
+    """Top-k events by value per user with their rank — the ranked
+    window-function shape (``ROW_NUMBER OVER (PARTITION BY user ORDER BY
+    value DESC, event_id)``), vs ``group_cap``'s arrival-order cap. The
+    scalable plan is partial top-k: each batch keeps at most k rows per
+    user BEFORE the shuffle (the global per-user top-k is a subset of
+    the union of batch-local top-ks), so the exchange carries
+    O(users x k) rows, not the event stream. Ordering is on raw doubles
+    (identical bits both engines) with the id tie-break; no NaN values
+    by the documented corpus contract."""
+    ds = _read(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def topk_local(uid, eid, v, k_keep):
+        order = np.lexsort((eid, -v, uid))
+        su, se, sv = uid[order], eid[order], v[order]
+        change = np.empty(su.size, dtype=bool)
+        change[0] = True
+        change[1:] = su[1:] != su[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, su.size))
+        pos = np.arange(su.size) - np.repeat(starts, counts)
+        keep = pos < k_keep
+        return su[keep], se[keep], sv[keep], (pos[keep] + 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if uid.size:
+            uid, eid, v, _ = topk_local(uid, eid, v, k)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "value": pa.array(v, pa.float64()),
+                "part": pa.array(_hash_part(uid), pa.int64()),
+            }
+        )
+
+    def select_partition(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        if uid.size == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="float64"),
+                    "rk": pd.Series(dtype="int64"),
+                }
+            )
+        su, se, sv, rk = topk_local(
+            uid,
+            df["event_id"].to_numpy(dtype=np.int64),
+            df["value"].to_numpy(dtype=np.float64),
+            k,
+        )
+        return pd.DataFrame(
+            {
+                "user_id": su,
+                "event_id": se,
+                "value": sv,
+                "rk": rk.astype(np.int64),
+            }
+        )
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return select_partition(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "topk_partition"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
+    )
+
+
 def q_event_types(sf_dir: str):
     """Distinct values (set op; ds.unique is the same shuffle — done via
     groupby for a deterministic, oracle-matched output)."""
@@ -2677,6 +2768,8 @@ QUERIES = {
     "order_segments_join": q_order_segments_join,
     "sessions": q_sessions,
     "rolling_mean": q_rolling_mean,
+    "running_sum": q_running_sum,
+    "topk_per_user": q_topk_per_user,
     "event_types": q_event_types,
     "pricing_summary": q_pricing_summary,
     "asof_purchase_click": q_asof_purchase_click,
@@ -3117,6 +3210,23 @@ SELECT user_id AS signal_id, epoch_us(ts) AS ts_us,
          / LEAST(CAST(row_number() OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS DOUBLE), 5.0) AS value
 FROM events
+""",
+    "running_sum": """
+SELECT user_id AS signal_id, epoch_us(ts) AS ts_us,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_sum
+FROM events
+""",
+    "topk_per_user": """
+SELECT user_id, event_id, value, CAST(rk AS BIGINT) AS rk
+FROM (SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events)
+WHERE rk <= 3
 """,
     "sample_events": """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, value

@@ -215,3 +215,29 @@ def rolling_mean_partition(df: pd.DataFrame, window: int = 5) -> pd.DataFrame:
     out = sdf[["signal_id", "ts_us"]].copy()
     out["value"] = wsum / wcount
     return out
+
+
+def running_sum_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-signal cumulative sum at every event (SUM OVER an unbounded
+    ROWS frame): one global integer-micro cumsum, per-group rebased by
+    subtracting the exclusive prefix at each group start — no Python
+    loop over signals. ``/1e6`` at the end matches DuckDB's
+    DECIMAL(18,6)-window-sum-cast-to-DOUBLE bit-for-bit while the
+    per-signal micro total stays below 2**53 (documented premise; a
+    wider deployment would emit the micro int64 itself)."""
+    sdf, starts, _ = _sorted_groups(df)
+    v = sdf["value"].to_numpy(dtype=np.float64)
+    n = v.size
+    if n == 0:
+        out = sdf.iloc[0:0][["signal_id", "ts_us"]].copy()
+        out["event_id"] = np.empty(0, dtype=np.int64)
+        out["running_sum"] = np.empty(0, dtype=np.float64)
+        return out
+    vmu = np.round(v * 1e6).astype(np.int64)
+    cs = np.cumsum(vmu)
+    counts = np.diff(np.append(starts, n))
+    base = np.repeat(np.where(starts > 0, cs[starts - 1], 0), counts)
+    out = sdf[["signal_id", "ts_us"]].copy()
+    out["event_id"] = sdf["tie"].to_numpy(dtype=np.int64)
+    out["running_sum"] = (cs - base).astype(np.float64) / 1e6
+    return out

@@ -862,6 +862,60 @@ def test_band_join_counts_match_bruteforce(ray_session):
     assert got["n_clicks_10m"].max() > 0  # non-degenerate corpus
 
 
+def test_running_sum_matches_pandas_cumsum(ray_session):
+    """Unbounded-frame window sum vs a pandas groupby-cumsum oracle on
+    the identical integer-micro representation (segmented-prefix rebase
+    must not leak across users or reorder ties)."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import q_running_sum
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+    ev["vmu"] = np.round(ev["value"].to_numpy() * 1e6).astype(np.int64)
+    ev["want"] = ev.groupby("user_id")["vmu"].cumsum() / 1e6
+    got = q_running_sum(sf).to_pandas()
+    assert len(got) == len(ev)
+    merged = got.merge(
+        ev[["event_id", "want"]], on="event_id", validate="one_to_one"
+    )
+    assert (merged["running_sum"] == merged["want"]).all()
+
+
+def test_topk_per_user_matches_pandas_rank(ray_session):
+    """Grouped top-k by value vs a pandas sort/head oracle, including
+    the rank column and the partial-top-k-before-shuffle plan keeping
+    every global winner."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import q_topk_per_user
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(
+        sf + "/events.parquet", columns=["event_id", "user_id", "value"]
+    ).to_pandas()
+    ev = ev.sort_values(
+        ["user_id", "value", "event_id"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    ev["rk"] = ev.groupby("user_id").cumcount() + 1
+    want = ev[ev["rk"] <= 3].reset_index(drop=True)
+    got = (
+        q_topk_per_user(sf)
+        .to_pandas()
+        .sort_values(["user_id", "rk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ["user_id", "event_id", "value", "rk"]:
+        assert (
+            got[col].to_numpy() == want[col].to_numpy()
+        ).all(), col
+
+
 def test_binary_feature_schema_identical_across_extractors():
     """Both extractor modes emit the SAME output schema (decode_ok
     included in fake mode too) so downstream stages written against one

@@ -25,9 +25,12 @@ def test_every_oracle_has_a_query():
 
 
 def test_registry_counts():
-    # 48 hash-exact + 12 rows-only; update deliberately when adding ops
-    assert sum(k in ORACLE_SQL for k in QUERIES) == 48
-    assert len(QUERIES) == 60
+    # 50 hash-exact + 12 rows-only; update deliberately when adding ops.
+    # 50 is a HARD ceiling for the oracle-backed prefix: the correctness
+    # driver checks only the first 50 registry entries, so a 51st
+    # oracle-backed query would go formally unverified.
+    assert sum(k in ORACLE_SQL for k in QUERIES) == 50
+    assert len(QUERIES) == 62
 
 
 def test_quantile_interpolation_matches_duckdb():
