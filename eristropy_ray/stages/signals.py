@@ -234,6 +234,10 @@ def running_sum_partition(df: pd.DataFrame) -> pd.DataFrame:
         out["running_sum"] = np.empty(0, dtype=np.float64)
         return out
     vmu = np.round(v * 1e6).astype(np.int64)
+    # the GLOBAL (cross-signal) cumsum may wrap int64 on extreme
+    # partitions, but cs and base wrap identically, so the rebased
+    # difference is exact two's-complement arithmetic whenever the true
+    # per-signal running sum fits int64 (the documented premise above)
     cs = np.cumsum(vmu)
     counts = np.diff(np.append(starts, n))
     base = np.repeat(np.where(starts > 0, cs[starts - 1], 0), counts)
