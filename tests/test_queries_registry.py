@@ -24,6 +24,27 @@ def test_every_oracle_has_a_query():
     assert not missing, missing
 
 
+def test_read_strips_pandas_metadata(ray_session):
+    """_read must yield HASHABLE block schemas (no b'pandas' metadata —
+    an unhashable schema defeats Ray's shuffle-concat schema dedup) with
+    the requested columns in the requested order, and must not change
+    any column type vs a plain read."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import _read
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    assert pq.read_schema(path).metadata  # premise: testdata carries it
+    ds = _read(path, columns=["value", "user_id"])
+    batch = next(iter(ds.iter_batches(batch_format="pyarrow", batch_size=8)))
+    assert batch.schema.metadata is None
+    hash(batch.schema)  # must not raise
+    assert batch.schema.names == ["value", "user_id"]
+    plain = pq.read_schema(path)
+    for name in batch.schema.names:
+        assert batch.schema.field(name).type == plain.field(name).type
+
+
 def test_registry_counts():
     # 50 hash-exact + 12 rows-only; update deliberately when adding ops.
     # 50 is a HARD ceiling for the oracle-backed prefix: the correctness
