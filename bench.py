@@ -116,6 +116,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "vocab_topk",
         "embedding_neardup_ivf",
         "transcript_rollup_stats",
+        "band_join",
+        "anti_join",
+        "running_sum",
+        "topk_per_user",
     ]
     timings = {}
     for name in names:
