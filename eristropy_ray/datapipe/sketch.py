@@ -145,3 +145,65 @@ def bloom_contains(
         pos = ((h + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
         out &= (bits[pos >> 3] >> (pos & 7) & 1).astype(bool)
     return out
+
+
+# --------------------------------------------------------------- quantiles
+
+HDR_MANTISSA_BITS = 7  # 128 sub-buckets per octave -> relative half-width 2^-8
+
+
+def hdr_bucket(values: np.ndarray, m: int = HDR_MANTISSA_BITS) -> np.ndarray:
+    """Log-bucket index for POSITIVE float64 values (HdrHistogram-style,
+    public design): dropping the low ``52 - m`` mantissa bits of the IEEE
+    representation yields an integer that is monotone in the value and
+    groups it with neighbors within relative width ``2^-m``. Zeros map
+    to bucket 0 (denormals share it — below any meaningful resolution);
+    negatives are rejected (the engine's value columns are magnitudes —
+    a signed deployment would run one histogram per sign)."""
+    v = np.asarray(values, dtype=np.float64)
+    if (v < 0).any():
+        raise ValueError("hdr_bucket requires non-negative values")
+    return v.view(np.uint64) >> np.uint64(52 - m)
+
+
+def hdr_value(buckets: np.ndarray, m: int = HDR_MANTISSA_BITS) -> np.ndarray:
+    """Representative value (geometric bucket midpoint): reconstruct the
+    bucket's lower edge by restoring the dropped mantissa bits as zeros,
+    then center by half a bucket step — the relative error of the
+    estimate vs any member of the bucket is <= 2^-(m+1)."""
+    lo = (np.asarray(buckets, dtype=np.uint64) << np.uint64(52 - m)).view(
+        np.float64
+    )
+    hi = (
+        (np.asarray(buckets, dtype=np.uint64) + np.uint64(1))
+        << np.uint64(52 - m)
+    ).view(np.float64)
+    return (lo + hi) / 2.0
+
+
+def hdr_partial(values: np.ndarray, m: int = HDR_MANTISSA_BITS):
+    """One batch -> (bucket ids, counts): a few-hundred-row summary
+    whose size is bounded by the value DISTRIBUTION (occupied buckets),
+    not the row count. Merge = concatenate + sum by bucket (counts form
+    a commutative monoid), so any fold tree is exact."""
+    b, c = np.unique(hdr_bucket(values, m), return_counts=True)
+    return b.astype(np.int64), c.astype(np.int64)
+
+
+def hdr_quantiles(
+    buckets: np.ndarray,
+    counts: np.ndarray,
+    qs: np.ndarray,
+    m: int = HDR_MANTISSA_BITS,
+) -> np.ndarray:
+    """Quantile estimates from a merged histogram: for each q locate the
+    bucket holding the rank-``ceil(q * n)`` order statistic (cumulative
+    counts + searchsorted) and return its representative value — within
+    relative ``2^-(m+1)`` of the true order statistic."""
+    order = np.argsort(buckets)
+    b, c = np.asarray(buckets)[order], np.asarray(counts)[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    ranks = np.maximum(1, np.ceil(np.asarray(qs, dtype=np.float64) * n))
+    idx = np.searchsorted(cum, ranks, side="left")
+    return hdr_value(b[idx], m)

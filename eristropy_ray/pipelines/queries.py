@@ -2165,6 +2165,52 @@ def q_distinct_users_approx(sf_dir: str, p: int = 12):
     )
 
 
+def q_value_quantiles_hdr(sf_dir: str, m: int = 7):
+    """Approximate value quantiles per event_type via a mergeable
+    HDR-style log-bucketed histogram (rows-only; relative error bound
+    2^-(m+1) vs the exact order statistic is pinned in tests) — the
+    sketch twin of exact ``doc_len_quantiles`` for UNBOUNDED positive
+    double domains, completing the sketch family: HLL (distinct),
+    Misra-Gries (heavy hitters), Bloom (membership), HDR (quantiles).
+    Each batch folds to one (event_type, bucket, n) summary whose size
+    is bounded by the occupied buckets, not the row count; merge is a
+    plain summing groupby (counts are a commutative monoid), and the
+    per-type finish runs over a few thousand buckets."""
+    from eristropy_ray.datapipe.sketch import hdr_partial, hdr_quantiles
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    qs = np.array([0.25, 0.5, 0.75, 0.99])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            b, c = hdr_partial(g["value"].to_numpy(np.float64), m)
+            rows.append(
+                pd.DataFrame({"event_type": et, "bucket": b, "n": c})
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        est = hdr_quantiles(
+            df["bucket"].to_numpy(np.int64), df["n"].to_numpy(np.int64), qs, m
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[0],
+                "q": qs,
+                "value_approx": est,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def q_group_cap(sf_dir: str, k: int = 3):
     """First-k-per-group cap (earliest k events per user by (ts, id)) —
     the "at most N documents per domain/source" diversity cap of a
@@ -2828,6 +2874,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "multimodal_features": q_multimodal_features,
     "distinct_users_approx": q_distinct_users_approx,
+    "value_quantiles_hdr": q_value_quantiles_hdr,
 }
 
 

@@ -785,6 +785,61 @@ def test_bloom_filter_properties():
     np.testing.assert_array_equal(np.bitwise_or(b1, b2), bits)
 
 
+def test_hdr_quantile_sketch_properties():
+    """Relative error bound 2^-(m+1) vs the exact order statistic on a
+    heavy-tailed distribution; any merge tree gives the identical
+    estimate (counts are a commutative monoid); bucket index is monotone
+    in the value; zeros get their own bucket."""
+    from eristropy_ray.datapipe.sketch import (
+        hdr_bucket,
+        hdr_partial,
+        hdr_quantiles,
+    )
+
+    rng = np.random.default_rng(17)
+    v = rng.lognormal(mean=2.0, sigma=3.0, size=50_000)
+    qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+    b, c = hdr_partial(v)
+    est = hdr_quantiles(b, c, qs)
+    sv = np.sort(v)
+    exact = sv[np.maximum(1, np.ceil(qs * v.size)).astype(int) - 1]
+    assert (np.abs(est - exact) / exact <= 2.0**-8).all()
+    # merge-tree invariance: 7 uneven splits folded == single pass
+    parts = [hdr_partial(x) for x in np.array_split(v, 7)]
+    allb = np.concatenate([p[0] for p in parts])
+    allc = np.concatenate([p[1] for p in parts])
+    ub, inv = np.unique(allb, return_inverse=True)
+    uc = np.bincount(inv, weights=allc).astype(np.int64)
+    np.testing.assert_array_equal(hdr_quantiles(ub, uc, qs), est)
+    # monotone bucket index
+    grid = np.sort(rng.lognormal(0, 4, 1000))
+    assert (np.diff(hdr_bucket(grid).astype(np.int64)) >= 0).all()
+    assert hdr_bucket(np.array([0.0]))[0] == 0
+    with pytest.raises(ValueError):
+        hdr_bucket(np.array([-1.0]))
+
+
+def test_value_quantiles_hdr_query(ray_session):
+    """The distributed grouped sketch matches the error bound per
+    event_type against the exact per-type order statistics."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.pipelines.queries import q_value_quantiles_hdr
+
+    sf = "/root/testdata/sf0.001"
+    got = q_value_quantiles_hdr(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    assert set(got["event_type"]) == set(ev["event_type"])
+    for et, g in got.groupby("event_type"):
+        sv = np.sort(ev.loc[ev.event_type == et, "value"].to_numpy())
+        ranks = np.maximum(1, np.ceil(g["q"].to_numpy() * sv.size)).astype(int)
+        exact = sv[ranks - 1]
+        rel = np.abs(g["value_approx"].to_numpy() - exact) / exact
+        assert (rel <= 2.0**-8).all(), (et, rel)
+
+
 def test_bloom_semijoin_is_exact(ray_session):
     """Bloom prefilter + exact verification of survivors = the exact
     semi-join row set (the Bloom stage's own zero-FN / bounded-FP

@@ -51,7 +51,7 @@ def test_registry_counts():
     # driver checks only the first 50 registry entries, so a 51st
     # oracle-backed query would go formally unverified.
     assert sum(k in ORACLE_SQL for k in QUERIES) == 50
-    assert len(QUERIES) == 62
+    assert len(QUERIES) == 63
 
 
 def test_quantile_interpolation_matches_duckdb():
