@@ -2173,9 +2173,12 @@ def q_value_quantiles_hdr(sf_dir: str, m: int = 7):
     double domains, completing the sketch family: HLL (distinct),
     Misra-Gries (heavy hitters), Bloom (membership), HDR (quantiles).
     Each batch folds to one (event_type, bucket, n) summary whose size
-    is bounded by the occupied buckets, not the row count; merge is a
-    plain summing groupby (counts are a commutative monoid), and the
-    per-type finish runs over a few thousand buckets."""
+    is bounded by the occupied buckets, not the row count. Because the
+    counts form a commutative monoid AND ``hdr_quantiles`` ranks via a
+    cumulative sum (duplicate bucket ids contribute identically to an
+    explicit pre-sum), the partials need NO summing aggregate — one
+    hash shuffle colocates each event_type's few thousand summary rows
+    and the finish consumes them directly."""
     from eristropy_ray.datapipe.sketch import hdr_partial, hdr_quantiles
 
     ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
@@ -2203,9 +2206,9 @@ def q_value_quantiles_hdr(sf_dir: str, m: int = 7):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "bucket"])
-        .aggregate(Sum("n", alias_name="n"))
+        # batch_size=None: fold whole blocks — the summary is bucket-
+        # bounded, so bigger batches mean strictly fewer partial rows.
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby("event_type")
         .map_groups(finish, batch_format="pandas")
     )
