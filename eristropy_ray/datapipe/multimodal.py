@@ -182,3 +182,83 @@ class FrameSampleStage:
         )
         cols["frame"] = pa.array(frames, pa.binary())
         return pa.table(cols)
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (H, W, C) -> (out_h, out_w, C)
+    with the standard half-pixel-center mapping: source index
+    floor((i + 0.5) * H / out_h), clamped. Pure fancy-indexing — one
+    gather, no per-pixel Python."""
+    if pixels.ndim != 3:
+        raise ValueError("expected (height, width, channels) pixels")
+    h, w, _c = pixels.shape
+    yi = np.minimum(
+        ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
+    )
+    xi = np.minimum(
+        ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
+    )
+    return pixels[yi][:, xi]
+
+
+class ImageResizeStage:
+    """Actor-pool image-resize stage: decode PNG -> nearest-neighbor
+    resize to (out_h, out_w) -> re-encode PNG, the canonical
+    normalize-resolution preprocessing step for image training data.
+    Same per-row degradation contract as ``BinaryFeatureStage``: rows
+    whose payload is not a decodable PNG emit ``resize_ok=False`` with
+    an empty output payload instead of failing the task, and the output
+    schema is identical for every row (one schema across all blocks).
+
+    Usage:
+        ds.map_batches(ImageResizeStage(out_h=16, out_w=16),
+                       batch_format="pyarrow", batch_size=128,
+                       concurrency=8, num_cpus=1)
+    """
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        out_h: int = 16,
+        out_w: int = 16,
+    ) -> None:
+        if out_h <= 0 or out_w <= 0:
+            raise ValueError("output dimensions must be positive")
+        self.payload_col = payload_col
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from eristropy_ray.datapipe.media import decode_png, encode_png
+
+        payloads = batch[self.payload_col].to_pylist()
+        keep = [c for c in batch.column_names if c != self.payload_col]
+        out_payloads: list[bytes] = []
+        in_h: list[int] = []
+        in_w: list[int] = []
+        ok: list[bool] = []
+        for p in payloads:
+            try:
+                px = decode_png(p or b"")
+                resized = resize_nearest(px, self.out_h, self.out_w)
+                out_payloads.append(encode_png(resized))
+                in_h.append(px.shape[0])
+                in_w.append(px.shape[1])
+                ok.append(True)
+            except ValueError:
+                out_payloads.append(b"")
+                in_h.append(0)
+                in_w.append(0)
+                ok.append(False)
+        cols = {name: batch[name] for name in keep}
+        cols["resized"] = pa.array(out_payloads, pa.binary())
+        cols["in_height"] = pa.array(in_h, pa.int64())
+        cols["in_width"] = pa.array(in_w, pa.int64())
+        cols["out_height"] = pa.array(
+            np.full(len(payloads), self.out_h, dtype=np.int64), pa.int64()
+        )
+        cols["out_width"] = pa.array(
+            np.full(len(payloads), self.out_w, dtype=np.int64), pa.int64()
+        )
+        cols["resize_ok"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)

@@ -207,3 +207,12 @@ def hdr_quantiles(
     ranks = np.maximum(1, np.ceil(np.asarray(qs, dtype=np.float64) * n))
     idx = np.searchsorted(cum, ranks, side="left")
     return hdr_value(b[idx], m)
+
+
+def sample_key64(values: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-random uint64 sampling key per int64 value
+    (splitmix64 finalizer). A BIJECTION on the 64-bit domain, so
+    distinct ids get distinct keys — a bottom-k over these keys is a
+    uniform without-replacement sample that needs no tie-break and is
+    identical across runs, block layouts and cluster sizes."""
+    return _splitmix64(np.asarray(values, dtype=np.int64).view(np.uint64))

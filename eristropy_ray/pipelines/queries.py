@@ -1815,6 +1815,40 @@ def q_repetition(sf_dir: str, k: int = 10):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _synthesize_payloads(b: pa.Table) -> pa.Table:
+    """Deterministic binary payloads from document text (shared by the
+    multimodal queries): even doc_ids become real PNGs (text bytes as a
+    W x 8 gray raster, all five filter types), odd ones PCM WAVs, and
+    every 7th an undecodable JPEG-magic payload to exercise per-row
+    degradation."""
+    from eristropy_ray.datapipe.media import encode_png, encode_wav
+
+    ids = b["doc_id"].to_numpy().astype(np.int64)
+    payloads = []
+    for did, text in zip(ids, b["text"].to_pylist()):
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        data = data[:256] if data.size else np.zeros(1, np.uint8)
+        if did % 7 == 0:  # undecodable: JPEG magic, no decoder
+            payloads.append(b"\xff\xd8\xff" + data.tobytes())
+        elif did % 2 == 0:  # image: pad to a W x 8 gray raster
+            w = 8
+            n = max((data.size + w - 1) // w, 1) * w
+            px = np.zeros(n, np.uint8)
+            px[: data.size] = data
+            payloads.append(
+                encode_png(px.reshape(-1, w, 1), filters=[0, 1, 2, 3, 4])
+            )
+        else:  # audio: bytes as centered 16-bit samples
+            samples = (data.astype(np.int64) - 128) * 256
+            payloads.append(encode_wav(samples.reshape(-1, 1)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal decode pipeline over binary payload columns (rows-only:
     zlib/codec byte streams are not SQL-expressible).
@@ -1826,38 +1860,11 @@ def q_multimodal_features(sf_dir: str):
     ``map_batches`` stage — the exact shape a production image/audio
     feature-extraction stage has (per-actor setup, small batches for wide
     binary rows, typed metadata out)."""
-    from eristropy_ray.datapipe.media import encode_png, encode_wav
     from eristropy_ray.datapipe.multimodal import BinaryFeatureStage
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def synthesize(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy().astype(np.int64)
-        payloads = []
-        for did, text in zip(ids, b["text"].to_pylist()):
-            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-            data = data[:256] if data.size else np.zeros(1, np.uint8)
-            if did % 7 == 0:  # undecodable: JPEG magic, no decoder
-                payloads.append(b"\xff\xd8\xff" + data.tobytes())
-            elif did % 2 == 0:  # image: pad to a W x 8 gray raster
-                w = 8
-                n = max((data.size + w - 1) // w, 1) * w
-                px = np.zeros(n, np.uint8)
-                px[: data.size] = data
-                payloads.append(
-                    encode_png(px.reshape(-1, w, 1), filters=[0, 1, 2, 3, 4])
-                )
-            else:  # audio: bytes as centered 16-bit samples
-                samples = (data.astype(np.int64) - 128) * 256
-                payloads.append(encode_wav(samples.reshape(-1, 1)))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        )
-
-    feats = ds.map_batches(synthesize, batch_format="pyarrow").map_batches(
+    feats = ds.map_batches(_synthesize_payloads, batch_format="pyarrow").map_batches(
         BinaryFeatureStage(extractor="real"),
         batch_format="pyarrow",
         batch_size=128,  # small: payload rows are wide
@@ -1878,6 +1885,43 @@ def q_multimodal_features(sf_dir: str):
         )
 
     return feats.map_batches(project, batch_format="pyarrow")
+
+
+def q_image_resize(sf_dir: str, out_h: int = 16, out_w: int = 16):
+    """Image resize pipeline — decode PNG -> nearest-neighbor resize ->
+    re-encode — over the same deterministic payloads as
+    ``multimodal_features`` (rows-only: codec byte streams aren't SQL).
+    Real resolution normalization for image training data: PNG rows are
+    actually decoded, resampled with the half-pixel-center gather and
+    re-encoded (round-trip pixel equality pinned in tests); WAV/JPEG/
+    corrupt rows degrade per row (``resize_ok=False``), never fail the
+    task. Actor-pool stage, small batches for wide binary rows; output
+    is the resized payload plus typed in/out dimension metadata, with
+    one schema across all rows."""
+    from eristropy_ray.datapipe.multimodal import ImageResizeStage
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    resized = ds.map_batches(
+        _synthesize_payloads, batch_format="pyarrow"
+    ).map_batches(
+        ImageResizeStage(out_h=out_h, out_w=out_w),
+        batch_format="pyarrow",
+        batch_size=128,  # small: payload rows are wide
+        concurrency=4,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "resize_ok": b["resize_ok"],
+                "in_height": b["in_height"],
+                "in_width": b["in_width"],
+                "n_bytes_out": pc.binary_length(b["resized"].combine_chunks()),
+            }
+        )
+
+    return resized.map_batches(project, batch_format="pyarrow")
 
 
 def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
@@ -2291,6 +2335,49 @@ def q_sample_events(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_reservoir_sample(sf_dir: str, k: int = 1000):
+    """Fixed-size uniform sample — EXACTLY k rows regardless of corpus
+    size (the "give me 10k examples from 100 TB" op; the fixed-RATE
+    twin is ``sample_events``). Mergeable bottom-k sketch: every row
+    gets the deterministic key splitmix64(event_id) — a bijection, so
+    distinct ids never tie — each block keeps its k smallest keys
+    vectorized (argpartition), and because bottom-k is a commutative,
+    associative, idempotent reduction, the global bottom-k of the
+    per-block survivors equals the bottom-k of the full table. The
+    final sort touches at most k x num_blocks summary rows, so shuffle
+    volume is corpus-size-independent. Rows-only: the 64-bit mix isn't
+    SQL-expressible; exactness vs a single-pass local bottom-k and
+    block-layout invariance are pinned in tests."""
+    from eristropy_ray.datapipe.sketch import sample_key64
+
+    ds = _read(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def bottomk(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        key = sample_key64(ids)
+        if ids.size > k:
+            sel = np.argpartition(key, k)[:k]
+            b, key = b.take(pa.array(sel)), key[sel]
+        return pa.table(
+            {
+                "sample_key": pa.array(key, pa.uint64()),
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    return (
+        ds.map_batches(bottomk, batch_format="pyarrow", batch_size=None)
+        .sort("sample_key")
+        .limit(k)
+    )
 
 
 def q_top_users(sf_dir: str, k: int = 10):
@@ -2876,8 +2963,10 @@ QUERIES = {
     "simhash": q_simhash,
     "heavy_hitters": q_heavy_hitters,
     "multimodal_features": q_multimodal_features,
+    "image_resize": q_image_resize,
     "distinct_users_approx": q_distinct_users_approx,
     "value_quantiles_hdr": q_value_quantiles_hdr,
+    "reservoir_sample": q_reservoir_sample,
 }
 
 

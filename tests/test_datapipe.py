@@ -999,3 +999,120 @@ def test_heavy_hitters_fanin_spreads_on_duplicate_text(ray_session):
         for min_id in (0, 1000, 2000, 3000, 4000, 5000, 6000, 7000)
     }
     assert len(parts) > 1, "identical-text batches still collapse"
+
+
+def test_sample_key64_bijective_and_deterministic():
+    """Distinct ids -> distinct keys (splitmix64 is a bijection on the
+    64-bit domain) and repeated calls are identical — the properties
+    that make a bottom-k over these keys a tie-free reproducible
+    uniform sample."""
+    from eristropy_ray.datapipe.sketch import sample_key64
+
+    ids = np.arange(100_000, dtype=np.int64)
+    k1, k2 = sample_key64(ids), sample_key64(ids)
+    np.testing.assert_array_equal(k1, k2)
+    assert np.unique(k1).size == ids.size
+    # merge invariance: bottom-k of per-chunk bottom-ks == global bottom-k,
+    # for any chunking (3 vs 7 uneven splits)
+    k = 250
+    glob = np.sort(k1)[:k]
+    for n_chunks in (3, 7):
+        surv = np.concatenate(
+            [np.sort(c)[:k] for c in np.array_split(k1, n_chunks)]
+        )
+        np.testing.assert_array_equal(np.sort(surv)[:k], glob)
+
+
+def test_reservoir_sample_query(ray_session):
+    """The distributed bottom-k sample equals the single-pass local
+    bottom-k over the same table, exactly — k rows, same ids, same
+    order — regardless of how Ray laid out the blocks."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.datapipe.sketch import sample_key64
+    from eristropy_ray.pipelines.queries import q_reservoir_sample
+
+    sf = "/root/testdata/sf0.001"
+    k = 137
+    got = q_reservoir_sample(sf, k=k).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    key = sample_key64(ev["event_id"].to_numpy(np.int64))
+    order = np.argsort(key)[:k]
+    assert len(got) == k
+    np.testing.assert_array_equal(
+        got["event_id"].to_numpy(), ev["event_id"].to_numpy()[order]
+    )
+    np.testing.assert_array_equal(got["sample_key"].to_numpy(), np.sort(key)[:k])
+    np.testing.assert_array_equal(
+        got["value"].to_numpy(), ev["value"].to_numpy()[order]
+    )
+
+
+def test_resize_nearest_kernel():
+    """Half-pixel-center gather: identity at same size, exact 2x
+    downsample picks the center-right sample of each pair, upsample
+    replicates pixels; non-3D input rejected."""
+    from eristropy_ray.datapipe.multimodal import resize_nearest
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(resize_nearest(px, 8, 6), px)
+    # 2x downsample: source index floor((i+0.5)*2) = 2i+1
+    down = resize_nearest(px, 4, 3)
+    np.testing.assert_array_equal(down, px[1::2][:, 1::2])
+    # upsample: each source pixel appears in a 2x2 block
+    up = resize_nearest(px, 16, 12)
+    np.testing.assert_array_equal(up[::2, ::2], px[
+        np.minimum((np.arange(16)[::2] + 0.5) // 2, 7).astype(int)
+    ][:, np.minimum((np.arange(12)[::2] + 0.5) // 2, 5).astype(int)])
+    with pytest.raises(ValueError):
+        resize_nearest(px[:, :, 0], 4, 4)
+
+
+def test_image_resize_stage_roundtrip_and_degradation():
+    """PNG rows come back as decodable PNGs holding exactly the resized
+    pixels; non-PNG / corrupt rows degrade per row with one output
+    schema."""
+    import pyarrow as pa
+
+    from eristropy_ray.datapipe.media import decode_png, encode_png
+    from eristropy_ray.datapipe.multimodal import ImageResizeStage, resize_nearest
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 10, 1), dtype=np.uint8)
+    good = encode_png(px, filters=[0, 1, 2, 3, 4] * 5)[: 10**9]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [good, b"\xff\xd8\xffjpeg-ish", b"garbage"], pa.binary()
+            ),
+        }
+    )
+    out = ImageResizeStage(out_h=6, out_w=4)(batch)
+    assert out["resize_ok"].to_pylist() == [True, False, False]
+    assert out["in_height"].to_pylist() == [24, 0, 0]
+    assert out["in_width"].to_pylist() == [10, 0, 0]
+    got = decode_png(out["resized"].to_pylist()[0])
+    np.testing.assert_array_equal(got, resize_nearest(px, 6, 4))
+    assert out["resized"].to_pylist()[1] == b""
+    assert set(out.column_names) == {
+        "doc_id", "resized", "in_height", "in_width",
+        "out_height", "out_width", "resize_ok",
+    }
+
+
+def test_image_resize_query(ray_session):
+    """The distributed pipeline resizes exactly the PNG rows (even
+    doc_ids not divisible by 7) and degrades the rest."""
+    from eristropy_ray.pipelines.queries import q_image_resize
+
+    got = q_image_resize("/root/testdata/sf0.001", out_h=8, out_w=8).to_pandas()
+    ids = got["doc_id"].to_numpy()
+    expect_ok = (ids % 7 != 0) & (ids % 2 == 0)
+    np.testing.assert_array_equal(got["resize_ok"].to_numpy(), expect_ok)
+    ok = got[got["resize_ok"]]
+    assert (ok["in_width"] == 8).all()
+    assert (ok["in_height"] > 0).all()
+    assert (ok["n_bytes_out"] > 0).all()
+    assert (got.loc[~got["resize_ok"], "n_bytes_out"] == 0).all()

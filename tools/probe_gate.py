@@ -1,0 +1,105 @@
+"""Probe-gated benchmark launcher for the noisy sandbox VM.
+
+The VM has intermittent multi-minute interference windows that inflate
+every Ray wall-time 10-60% (sometimes 4-10x) uniformly; measurements
+taken inside one are meaningless (BASELINE.md band tables). This tool
+polls a cheap flagship probe in a fresh process every PROBE_INTERVAL
+seconds and, on the first clean reading (probe <= THRESHOLD seconds),
+runs the requested benchmark commands back-to-back while the window
+stays open.
+
+Usage:
+  python tools/probe_gate.py                 # probe once, print seconds
+  python tools/probe_gate.py --watch         # loop until clean, then fire
+      [--threshold 2.7] [--interval 150] [--max-wait 7200]
+      [--out-dir /tmp/eristropy_ray/probe_gate]
+
+On fire it writes:
+  <out-dir>/scaling.json   (bench.py --scaling stdout)
+  <out-dir>/bench.json     (bench.py stdout)
+  <out-dir>/log.jsonl      (one line per probe: ts, seconds, fired)
+
+Never run other Ray work while this is in its firing phase — the
+measurement owns the box (CLAUDE.md invariant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def probe() -> float:
+    """Flagship at default sf0.1 input, queries skipped, fresh process.
+
+    Returns the flagship seconds (clean band ~2.2-2.7 s at 32 CPUs).
+    """
+    env = dict(os.environ, GRAFT_SKIP_QUERIES="1")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return float(json.loads(out.strip().splitlines()[-1])["value"])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--watch", action="store_true")
+    ap.add_argument("--threshold", type=float, default=2.7)
+    ap.add_argument("--interval", type=float, default=150.0)
+    ap.add_argument("--max-wait", type=float, default=7200.0)
+    ap.add_argument(
+        "--out-dir", default="/tmp/eristropy_ray/probe_gate"
+    )
+    args = ap.parse_args()
+
+    if not args.watch:
+        print(json.dumps({"probe_sec": probe()}))
+        return
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log = out_dir / "log.jsonl"
+    start = time.time()
+    while time.time() - start < args.max_wait:
+        sec = probe()
+        fired = sec <= args.threshold
+        with log.open("a") as f:
+            f.write(
+                json.dumps(
+                    {"ts": time.time(), "probe_sec": sec, "fired": fired}
+                )
+                + "\n"
+            )
+        if fired:
+            scaling = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--scaling"],
+                capture_output=True,
+                text=True,
+            )
+            (out_dir / "scaling.json").write_text(scaling.stdout)
+            bench = subprocess.run(
+                [sys.executable, str(REPO / "bench.py")],
+                capture_output=True,
+                text=True,
+            )
+            (out_dir / "bench.json").write_text(bench.stdout)
+            print(json.dumps({"fired_at_probe_sec": sec}))
+            return
+        time.sleep(args.interval)
+    print(json.dumps({"timed_out": True}))
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
