@@ -94,9 +94,19 @@ def permen_padded(
     pos = np.arange(n_pos)
     for s in range(0, W, chunk):
         e = min(s + chunk, W)
-        sw = np.lib.stride_tricks.sliding_window_view(P[s:e], order, axis=1)
-        perm = np.argsort(sw, axis=2, kind="stable")
-        code = perm @ base  # (w, n_pos)
+        Pc = P[s:e]
+        if order == 3 and not np.isnan(Pc).any():
+            # comparison-based order-3 codes (kernels/permen._codes3):
+            # identical integers to the stable-argsort path, no argsort.
+            # +inf pads compare like any largest value; NaN data falls
+            # back (argsort sorts NaN last, comparisons would not).
+            from eristropy_ray.kernels.permen import _codes3
+
+            code = _codes3(Pc[:, :-2], Pc[:, 1:-1], Pc[:, 2:])
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(Pc, order, axis=1)
+            perm = np.argsort(sw, axis=2, kind="stable")
+            code = perm @ base  # (w, n_pos)
         valid = pos[None, :] < nwin[s:e, None]
         w_idx = np.repeat(np.arange(e - s), valid.sum(axis=1))
         counts = np.bincount(

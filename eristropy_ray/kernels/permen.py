@@ -23,6 +23,26 @@ import math
 import numpy as np
 
 
+_POW3 = np.array([1, 3, 9], dtype=np.int64)
+
+
+def _codes3(x0: np.ndarray, x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """Order-3 pattern codes from pairwise comparisons — the exact integer
+    the generic stable-argsort path produces, without the argsort.
+
+    rank_i = #{j : x_j < x_i, or x_j == x_i with j < i} is element i's
+    stable sorted position, so perm[rank_i] = i and the mixed-radix code
+    sum(perm[j]*3^j) telescopes to 1*3^rank_1 + 2*3^rank_2. Ties resolve
+    through the <= / < asymmetry exactly as stable argsort does (verified
+    on tied, inf-bearing and constant inputs in tests/test_permen.py).
+    NaN inputs must NOT take this path: comparisons put a NaN at rank 0
+    while argsort sorts it last.
+    """
+    r1 = np.add(x0 <= x1, x2 < x1, dtype=np.int64)
+    r2 = np.add(x0 <= x2, x1 <= x2, dtype=np.int64)
+    return _POW3[r1] + 2 * _POW3[r2]
+
+
 def ordinal_patterns(x: np.ndarray, order: int = 3, delay: int = 1) -> np.ndarray:
     """Integer code of the ordinal pattern of each embedded window.
 
@@ -35,6 +55,9 @@ def ordinal_patterns(x: np.ndarray, order: int = 3, delay: int = 1) -> np.ndarra
     n_win = n - (order - 1) * delay
     if n_win <= 0:
         return np.empty(0, dtype=np.int64)
+    if order == 3 and not np.isnan(x).any():
+        d = delay
+        return _codes3(x[:n_win], x[d : d + n_win], x[2 * d : 2 * d + n_win])
     idx = np.arange(n_win)[:, None] + np.arange(order)[None, :] * delay
     windows = x[idx]
     perm = np.argsort(windows, axis=1, kind="stable")

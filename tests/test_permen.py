@@ -45,3 +45,43 @@ def test_delay_embedding(rng):
     # delay-2 patterns of the even subsequence appear in delay-1 of that sub
     sub = ordinal_patterns(x[::2], order=3, delay=1)
     assert np.array_equal(codes2[::2], sub[: codes2[::2].size])
+
+
+def test_codes3_matches_argsort_path(rng):
+    """The comparison-based order-3 fast path must emit the exact integers
+    of the generic stable-argsort path — ties, infs, constants included."""
+    from eristropy_ray.kernels.permen import _codes3
+
+    def argsort_codes(x, delay=1):
+        n_win = x.size - 2 * delay
+        idx = np.arange(n_win)[:, None] + np.arange(3)[None, :] * delay
+        perm = np.argsort(x[idx], axis=1, kind="stable")
+        return perm @ (3 ** np.arange(3, dtype=np.int64))
+
+    cases = [
+        rng.normal(size=200),
+        np.repeat(rng.normal(size=50), 4),  # heavy ties
+        rng.integers(0, 3, size=300).astype(float),  # dense ties
+        np.concatenate(
+            [rng.normal(size=50), [np.inf, np.inf, -np.inf], rng.normal(size=50)]
+        ),
+        np.arange(100.0),
+        np.arange(100.0)[::-1].copy(),
+        np.zeros(50),
+    ]
+    for x in cases:
+        for d in (1, 2):
+            got = _codes3(x[: x.size - 2 * d], x[d : x.size - d], x[2 * d :])
+            assert np.array_equal(got, argsort_codes(x, d))
+        # the public entry point routes order-3 through the fast path
+        assert np.array_equal(ordinal_patterns(x, 3, 1), argsort_codes(x, 1))
+
+
+def test_nan_input_takes_argsort_path():
+    """NaN-bearing input must keep the argsort semantics (NaN sorts last);
+    the comparison fast path would rank it first."""
+    x = np.array([1.0, np.nan, 2.0, 0.5, 3.0, np.nan, 1.5])
+    idx = np.arange(x.size - 2)[:, None] + np.arange(3)[None, :]
+    perm = np.argsort(x[idx], axis=1, kind="stable")
+    expect = perm @ (3 ** np.arange(3, dtype=np.int64))
+    assert np.array_equal(ordinal_patterns(x, 3, 1), expect)
