@@ -54,22 +54,30 @@ def dod_encode(ts: np.ndarray) -> bytes:
     u = t.view(np.uint64)
     deltas = np.subtract(u[1:], u[:-1])  # uint64 wraparound
     header += int(deltas[0] & np.uint64(_M64)).to_bytes(8, "big")
-    out = BitWriter()
+    # local big-int accumulator == inlined BitWriter (same bytes, no
+    # per-write method call; see codecs/gorilla.py)
+    acc = 0
+    nbits = 0
     dods = np.subtract(deltas[1:], deltas[:-1])  # wraparound again
     for dod_u in dods.tolist():
         dod = _to_signed(dod_u)
         if dod == 0:
-            out.write(0, 1)
+            acc <<= 1
+            nbits += 1
             continue
         for hi, prefix, plen, vbits in _BUCKETS:
             if -hi < dod <= hi:
-                out.write(prefix, plen)
-                out.write(dod + hi - 1, vbits)
+                acc = (acc << plen) | prefix
+                acc = (acc << vbits) | (dod + hi - 1)
+                nbits += plen + vbits
                 break
         else:
-            out.write(0b11111, 5)
-            out.write(dod_u, 64)
-    return header + out.getvalue()
+            acc = (acc << 5) | 0b11111
+            acc = (acc << 64) | dod_u
+            nbits += 69
+    pad = (-nbits) % 8
+    tail = (acc << pad).to_bytes((nbits + pad) // 8, "big") if nbits else b""
+    return header + tail
 
 
 def dod_decode(data: bytes) -> np.ndarray:

@@ -25,40 +25,55 @@ from eristropy_ray.codecs.bits import BitReader, BitWriter
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:
+    # The bit stream is accumulated in local big-int (acc, nbits) vars —
+    # the inlined form of codecs.bits.BitWriter (same bytes; the method
+    # call per write was ~30% of encode time on typical ~50-point blocks).
     v = np.ascontiguousarray(values, dtype=np.float64)
     n = v.size
-    out = BitWriter()
-    if n:
-        bits = v.view(np.uint64)
-        xors = np.zeros(n, dtype=np.uint64)
-        xors[0] = bits[0]
-        np.bitwise_xor(bits[1:], bits[:-1], out=xors[1:])
-        out.write(int(bits[0]), 64)
-        prev_lead, prev_len = -1, 0  # no valid previous window
-        for i in range(1, n):
-            x = int(xors[i])
-            if x == 0:
-                out.write(0, 1)
-                continue
-            lead = min(64 - x.bit_length(), 31)
-            trail = (x & -x).bit_length() - 1
-            mlen = 64 - lead - trail
-            if (
-                prev_lead >= 0
-                and lead >= prev_lead
-                and trail >= 64 - prev_lead - prev_len
-            ):
-                # bits fit inside the previous (leading, length) window
-                out.write(0b10, 2)
-                out.write(x >> (64 - prev_lead - prev_len), prev_len)
-            else:
-                out.write(0b11, 2)
-                out.write(lead, 5)
-                out.write(mlen & 0x3F, 6)  # 64 encodes as 0
-                out.write(x >> trail, mlen)
-                prev_lead, prev_len = lead, mlen
     header = n.to_bytes(4, "big")
-    return header + out.getvalue()
+    if not n:
+        return header
+    bits = v.view(np.uint64)
+    xors = np.zeros(n, dtype=np.uint64)
+    xors[0] = bits[0]
+    np.bitwise_xor(bits[1:], bits[:-1], out=xors[1:])
+    xl = xors.tolist()
+    acc = xl[0]  # first value verbatim (64 bits)
+    nbits = 64
+    prev_lead, prev_len = -1, 0  # no valid previous window
+    for i in range(1, n):
+        x = xl[i]
+        if x == 0:
+            acc <<= 1
+            nbits += 1
+            continue
+        lead = 64 - x.bit_length()
+        if lead > 31:
+            lead = 31
+        trail = (x & -x).bit_length() - 1
+        mlen = 64 - lead - trail
+        if (
+            prev_lead >= 0
+            and lead >= prev_lead
+            and trail >= 64 - prev_lead - prev_len
+        ):
+            # bits fit inside the previous (leading, length) window;
+            # lead >= prev_lead guarantees x >> shift < 2^prev_len
+            acc = (
+                (acc << (2 + prev_len))
+                | (0b10 << prev_len)
+                | (x >> (64 - prev_lead - prev_len))
+            )
+            nbits += 2 + prev_len
+        else:
+            acc = (acc << 2) | 0b11
+            acc = (acc << 5) | lead
+            acc = (acc << 6) | (mlen & 0x3F)  # 64 encodes as 0
+            acc = (acc << mlen) | (x >> trail)
+            nbits += 13 + mlen
+            prev_lead, prev_len = lead, mlen
+    pad = (-nbits) % 8
+    return header + ((acc << pad).to_bytes((nbits + pad) // 8, "big"))
 
 
 def gorilla_decode(data: bytes) -> np.ndarray:
