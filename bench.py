@@ -178,28 +178,41 @@ def scaling() -> None:
     levels, fully subscribing the 32-CPU box so the top level competes
     with Ray's own system processes and the shared DRAM bus — and
     (4, 16), the same 4x ratio with headroom, which is the closer
-    analogue of adding NODES (where memory bandwidth scales with N)."""
+    analogue of adding NODES (where memory bandwidth scales with N).
+
+    Schedule: the (8, 32) pair runs FIRST and time-adjacent within each
+    repetition (8, 32, 8, 32, 4, 16, 4, 16). The estimator is unchanged
+    (min wall per level across reps); only the schedule moved. Rationale:
+    the sandbox VM's interference windows open mid-invocation, and with
+    the old ascending order the 32-CPU legs ran ~6 min after the clean
+    probe — a window opening then inflates only the top leg and fakes an
+    efficiency collapse. Adjacent pairs see near-identical VM state, so
+    uniform inflation cancels in the throughput ratio."""
     results = {}
-    for ncpu in (4, 8, 16, 32):
+
+    def _run_level(ncpu: int) -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_TURNS_PER_SF=str(_SCALING_TURNS_PER_SF),
             GRAFT_SKIP_QUERIES="1",
         )
-        best = None
-        for _rep in range(2):  # best-of-2: the sandbox VM is noisy
-            out = subprocess.run(
-                [sys.executable, str(REPO / "bench.py")],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            run = json.loads(out.strip().splitlines()[-1])
-            if best is None or run["value"] < best["value"]:
-                best = run
-        results[ncpu] = best
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        run = json.loads(out.strip().splitlines()[-1])
+        prev = results.get(ncpu)
+        if prev is None or run["value"] < prev["value"]:
+            results[ncpu] = run
+
+    for pair in ((8, 32), (4, 16)):
+        for _rep in range(2):  # best-of-2 per level: the VM is noisy
+            for ncpu in pair:
+                _run_level(ncpu)
     t = {n: results[n]["turns_per_sec"] for n in results}
     print(
         json.dumps(

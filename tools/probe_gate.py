@@ -12,7 +12,12 @@ Usage:
   python tools/probe_gate.py                 # probe once, print seconds
   python tools/probe_gate.py --watch         # loop until clean, then fire
       [--threshold 2.7] [--interval 150] [--max-wait 7200]
-      [--out-dir /tmp/eristropy_ray/probe_gate]
+      [--big-probe] [--out-dir /tmp/eristropy_ray/probe_gate]
+  --big-probe: probe with the 39.85M-turn 32-CPU scaling leg itself
+      (threshold default 13.0) instead of the 4M-turn flagship
+      (threshold default 2.7). Use for gating scaling attempts: the
+      small probe cannot see sustained co-tenant loads that only pin
+      fully-subscribed long runs.
   python tools/probe_gate.py --retry-scaling # loop: on each clean probe
       run `bench.py --scaling` ONLY (half the window footprint of the
       scaling+bench pair), append the result, and keep going until a
@@ -43,12 +48,21 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def probe() -> float:
-    """Flagship at default sf0.1 input, queries skipped, fresh process.
+def probe(big: bool = False) -> float:
+    """Flagship at sf0.1, queries skipped, fresh process.
 
-    Returns the flagship seconds (clean band ~2.2-2.7 s at 32 CPUs).
+    Default: the 4M-turn input (clean band ~2.2-2.7 s at 32 CPUs).
+    big=True: the 39.85M-turn SCALING input's 32-CPU leg (clean band
+    ~10.3-12.5 s). The small probe is blind to sustained co-tenant
+    loads that only pin fully-subscribed LONG runs (measured 2026-08-18:
+    probes read 2.39-2.62 s clean while interleaved old/new-build
+    32-legs on the big input read 18-32 s, 1.6-3x their historical
+    minima, for hours) — gate scaling attempts on the big probe.
     """
     env = dict(os.environ, GRAFT_SKIP_QUERIES="1")
+    if big:
+        env["GRAFT_TURNS_PER_SF"] = "320000000"
+        env["RAY_GRAFT_CPUS"] = "32"
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env,
@@ -69,7 +83,7 @@ def retry_scaling(args: argparse.Namespace) -> None:
     start = time.time()
     attempt = 0
     while time.time() - start < args.max_wait:
-        sec = probe()
+        sec = probe(args.big_probe)
         clean = sec <= args.threshold
         with log.open("a") as f:
             f.write(
@@ -115,7 +129,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--watch", action="store_true")
     ap.add_argument("--retry-scaling", action="store_true")
-    ap.add_argument("--threshold", type=float, default=2.7)
+    ap.add_argument("--big-probe", action="store_true")
+    ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--interval", type=float, default=150.0)
     ap.add_argument("--max-wait", type=float, default=7200.0)
@@ -123,13 +138,17 @@ def main() -> None:
         "--out-dir", default="/tmp/eristropy_ray/probe_gate"
     )
     args = ap.parse_args()
+    if args.threshold is None:
+        # clean bands: small probe 2.2-2.7 s; big probe (32-leg on the
+        # 39.85M-turn input) 10.3-12.5 s historically
+        args.threshold = 13.0 if args.big_probe else 2.7
 
     if args.retry_scaling:
         retry_scaling(args)
         return
 
     if not args.watch:
-        print(json.dumps({"probe_sec": probe()}))
+        print(json.dumps({"probe_sec": probe(args.big_probe)}))
         return
 
     out_dir = Path(args.out_dir)
@@ -137,7 +156,7 @@ def main() -> None:
     log = out_dir / "log.jsonl"
     start = time.time()
     while time.time() - start < args.max_wait:
-        sec = probe()
+        sec = probe(args.big_probe)
         fired = sec <= args.threshold
         with log.open("a") as f:
             f.write(
