@@ -1924,6 +1924,43 @@ def q_image_resize(sf_dir: str, out_h: int = 16, out_w: int = 16):
     return resized.map_batches(project, batch_format="pyarrow")
 
 
+def q_frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32):
+    """Video-style frame sampling — 1->N explode of evenly spaced windows
+    of each DECODED payload (scanline bands of PNGs, sample windows of
+    WAV clips; undecodable rows degrade to empty frames) — over the same
+    deterministic payloads as ``multimodal_features`` (rows-only: codec
+    byte streams aren't SQL). The canonical video pre-processing shape:
+    actor-pool stage, small batches for wide binary rows, one output row
+    per (doc, frame_idx) with the binary frame column plus typed
+    metadata."""
+    from eristropy_ray.datapipe.multimodal import FrameSampleStage
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    frames = ds.map_batches(
+        _synthesize_payloads, batch_format="pyarrow"
+    ).map_batches(
+        FrameSampleStage(
+            n_frames=n_frames, frame_bytes=frame_bytes, decoder="real"
+        ),
+        batch_format="pyarrow",
+        batch_size=128,  # small: payload rows are wide
+        concurrency=4,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "frame_idx": b["frame_idx"],
+                "n_frame_bytes": pc.binary_length(
+                    b["frame"].combine_chunks()
+                ),
+            }
+        )
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
     """End-to-end corpus cleaning composition — the pipeline shape a
     training-data user actually runs: length/quality filter -> exact
@@ -2964,6 +3001,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "multimodal_features": q_multimodal_features,
     "image_resize": q_image_resize,
+    "frame_sample": q_frame_sample,
     "distinct_users_approx": q_distinct_users_approx,
     "value_quantiles_hdr": q_value_quantiles_hdr,
     "reservoir_sample": q_reservoir_sample,

@@ -1116,3 +1116,26 @@ def test_image_resize_query(ray_session):
     assert (ok["in_height"] > 0).all()
     assert (ok["n_bytes_out"] > 0).all()
     assert (got.loc[~got["resize_ok"], "n_bytes_out"] == 0).all()
+
+
+def test_frame_sample_query(ray_session):
+    """The 1->N frame explode emits exactly n_frames rows per doc with
+    frame_idx 0..n-1, non-empty decoded windows for every decodable
+    payload (PNG and WAV alike) and empty frames for the JPEG-magic
+    rows."""
+    import duckdb
+
+    from eristropy_ray.pipelines.queries import q_frame_sample
+
+    got = q_frame_sample("/root/testdata/sf0.001", n_frames=3).to_pandas()
+    n_docs = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert len(got) == 3 * n_docs
+    per_doc = got.groupby("doc_id")["frame_idx"].agg(["count", "min", "max"])
+    assert (per_doc["count"] == 3).all()
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == 2).all()
+    decodable = got["doc_id"].to_numpy() % 7 != 0
+    assert (got.loc[decodable, "n_frame_bytes"] > 0).all()
+    assert (got.loc[~decodable, "n_frame_bytes"] == 0).all()
