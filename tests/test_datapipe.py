@@ -241,6 +241,44 @@ def test_frame_sample_real_decoder():
     assert frames[2] == b"" and frames[3] == b""
 
 
+@given(
+    payload_lens=st.lists(st.integers(0, 300), min_size=1, max_size=8),
+    n_frames=st.integers(1, 6),
+    frame_bytes=st.integers(1, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_frame_sample_explode_invariants(payload_lens, n_frames, frame_bytes):
+    """For arbitrary payload lengths the fake-decoder explode emits
+    exactly n_frames rows per item in input order, frame f equals the
+    byte window at offset len*f//n, and every frame is frame_bytes-
+    bounded (the block-width guarantee DESIGN_SCALE relies on)."""
+    from eristropy_ray.datapipe.multimodal import FrameSampleStage
+
+    payloads = [bytes(range(256)) * (ln // 256 + 1) for ln in payload_lens]
+    payloads = [p[:ln] for p, ln in zip(payloads, payload_lens)]
+    ids = list(range(len(payloads)))
+    out = FrameSampleStage(n_frames=n_frames, frame_bytes=frame_bytes)(
+        pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    assert out.num_rows == len(payloads) * n_frames
+    got_ids = out["item_id"].to_pylist()
+    got_idx = out["frame_idx"].to_pylist()
+    got_frames = out["frame"].to_pylist()
+    k = 0
+    for i, p in zip(ids, payloads):
+        for f in range(n_frames):
+            assert got_ids[k] == i and got_idx[k] == f
+            off = (len(p) * f) // n_frames
+            assert got_frames[k] == p[off : off + frame_bytes]
+            assert len(got_frames[k]) <= frame_bytes
+            k += 1
+
+
 def test_benchmark_frame_reproduces_reference_generator():
     """sources/benchmark_signals reproduces gp_benchmark.py:10-47 exactly
     (same rng(17) draw order: b first, then the (t, n) noise matrix)."""
