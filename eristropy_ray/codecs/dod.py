@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from eristropy_ray.codecs.bits import BitReader, BitWriter
+from eristropy_ray.codecs.bits import BitReader
 
 _BUCKETS = (
     (64, 0b10, 2, 7),

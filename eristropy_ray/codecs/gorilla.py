@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from eristropy_ray.codecs.bits import BitReader, BitWriter
+from eristropy_ray.codecs.bits import BitReader
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:

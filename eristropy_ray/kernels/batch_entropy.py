@@ -24,6 +24,8 @@ import math
 
 import numpy as np
 
+from eristropy_ray.kernels.permen import _codes3
+
 # element budget for one (chunk, L, L) slab — sized so the float64
 # intermediate (~4 MB) stays cache-resident; larger slabs saturate DRAM
 # bandwidth under many concurrent Ray tasks (measured 2.4x slower at 64 MB)
@@ -100,8 +102,6 @@ def permen_padded(
             # identical integers to the stable-argsort path, no argsort.
             # +inf pads compare like any largest value; NaN data falls
             # back (argsort sorts NaN last, comparisons would not).
-            from eristropy_ray.kernels.permen import _codes3
-
             code = _codes3(Pc[:, :-2], Pc[:, 1:-1], Pc[:, 2:])
         else:
             sw = np.lib.stride_tricks.sliding_window_view(Pc, order, axis=1)

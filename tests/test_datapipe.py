@@ -1177,3 +1177,96 @@ def test_frame_sample_query(ray_session):
     decodable = got["doc_id"].to_numpy() % 7 != 0
     assert (got.loc[decodable, "n_frame_bytes"] > 0).all()
     assert (got.loc[~decodable, "n_frame_bytes"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Arrow batch-vectorized hashing (round-5: C-speed dedup/minhash hot stages)
+
+
+_BH_TEXTS = [
+    "hello world foo bar baz", "", "one", "two words",
+    "hello world foo bar baz", "x" * 10_000,
+    "unicode  nbsp em and\ttabs\nnewlines",
+    " leading and trailing ", "a b c d e f g h i j k l m",
+    "éèê accents café", "NUL\x00byte words here",
+]
+
+
+def test_batch_hash128_dedup_semantics():
+    from eristropy_ray.datapipe.dedup import batch_hash128
+
+    arr = pa.array(_BH_TEXTS, pa.string())
+    h1, h2 = batch_hash128(arr)
+    # identical texts collide, distinct texts do not
+    assert (h1[0], h2[0]) == (h1[4], h2[4])
+    assert len(set(zip(h1.tolist(), h2.tolist()))) == len(set(_BH_TEXTS))
+    # sliced (nonzero offset), large_string and chunked inputs agree
+    s1, s2 = batch_hash128(arr.slice(2, 5))
+    np.testing.assert_array_equal(s1, h1[2:7])
+    np.testing.assert_array_equal(s2, h2[2:7])
+    l1, l2 = batch_hash128(pa.array(_BH_TEXTS, pa.large_string()))
+    np.testing.assert_array_equal(l1, h1)
+    np.testing.assert_array_equal(l2, h2)
+    c1, c2 = batch_hash128(pa.chunked_array([arr.slice(0, 3), arr.slice(3)]))
+    np.testing.assert_array_equal(c1, h1)
+    np.testing.assert_array_equal(c2, h2)
+
+
+def test_word_hashes_arrow_matches_per_text():
+    from eristropy_ray.datapipe.dedup import word_hashes, word_hashes_arrow
+
+    arr = pa.array(_BH_TEXTS, pa.string())
+    wh, wd = word_hashes_arrow(arr)
+    ref = [word_hashes(t) for t in _BH_TEXTS]
+    exp = np.concatenate([r for r in ref if r.size])
+    exp_doc = np.concatenate(
+        [np.full(r.size, i, np.int64) for i, r in enumerate(ref)]
+    )
+    np.testing.assert_array_equal(wh, exp)
+    np.testing.assert_array_equal(wd, exp_doc)
+
+
+def test_minhash_signature_arrow_matches_batch():
+    from eristropy_ray.datapipe import dedup as dd
+
+    arr = pa.array(_BH_TEXTS, pa.string())
+    sig_a = dd.minhash_signature_arrow(arr, num_perm=64)
+    sig_b = dd.minhash_signature_batch(_BH_TEXTS, num_perm=64)
+    np.testing.assert_array_equal(sig_a, sig_b)
+    # slab path (row-slabbed prefix sums) is value-identical
+    old = dd._HASH_SLAB_BYTES
+    dd._HASH_SLAB_BYTES = 64
+    try:
+        np.testing.assert_array_equal(
+            dd.minhash_signature_arrow(arr, num_perm=64), sig_b
+        )
+        t1, t2 = dd.batch_hash128(arr)
+        dd._HASH_SLAB_BYTES = 1 << 30
+        u1, u2 = dd.batch_hash128(arr)
+        np.testing.assert_array_equal(t1, u1)
+        np.testing.assert_array_equal(t2, u2)
+    finally:
+        dd._HASH_SLAB_BYTES = old
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(max_codepoint=0x2FFF),
+            max_size=80,
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_minhash_arrow_parity_property(texts):
+    from eristropy_ray.datapipe.dedup import (
+        minhash_signature_arrow,
+        minhash_signature_batch,
+    )
+
+    arr = pa.array(texts, pa.string())
+    np.testing.assert_array_equal(
+        minhash_signature_arrow(arr, num_perm=16),
+        minhash_signature_batch(texts, num_perm=16),
+    )

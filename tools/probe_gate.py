@@ -82,8 +82,22 @@ def retry_scaling(args: argparse.Namespace) -> None:
     log = out_dir / "log.jsonl"
     start = time.time()
     attempt = 0
+    parse_failures = 0
     while time.time() - start < args.max_wait:
-        sec = probe(args.big_probe)
+        try:
+            sec = probe(args.big_probe)
+        except (subprocess.CalledProcessError, ValueError, KeyError) as e:
+            # one transient probe failure must not abort an hours-long
+            # watch (round-4 gate died exactly this way)
+            with log.open("a") as f:
+                f.write(
+                    json.dumps(
+                        {"ts": time.time(), "probe_error": str(e)[:500]}
+                    )
+                    + "\n"
+                )
+            time.sleep(args.interval)
+            continue
         clean = sec <= args.threshold
         with log.open("a") as f:
             f.write(
@@ -107,8 +121,23 @@ def retry_scaling(args: argparse.Namespace) -> None:
             eff = json.loads(run.stdout.strip().splitlines()[-1])[
                 "scaling_efficiency_8_32"
             ]
-        except Exception:
+            parse_failures = 0
+        except (json.JSONDecodeError, KeyError, IndexError):
             eff = None
+            parse_failures += 1
+            (out_dir / f"scaling_{attempt}.stderr").write_text(
+                f"returncode={run.returncode}\n{run.stderr[-8000:]}"
+            )
+            if parse_failures >= 3:
+                print(
+                    json.dumps(
+                        {
+                            "aborted": "3 consecutive scaling parse failures",
+                            "attempts": attempt,
+                        }
+                    )
+                )
+                sys.exit(2)
         print(
             json.dumps(
                 {"attempt": attempt, "probe_sec": sec, "eff_8_32": eff}
@@ -156,7 +185,18 @@ def main() -> None:
     log = out_dir / "log.jsonl"
     start = time.time()
     while time.time() - start < args.max_wait:
-        sec = probe(args.big_probe)
+        try:
+            sec = probe(args.big_probe)
+        except (subprocess.CalledProcessError, ValueError, KeyError) as e:
+            with log.open("a") as f:
+                f.write(
+                    json.dumps(
+                        {"ts": time.time(), "probe_error": str(e)[:500]}
+                    )
+                    + "\n"
+                )
+            time.sleep(args.interval)
+            continue
         fired = sec <= args.threshold
         with log.open("a") as f:
             f.write(
