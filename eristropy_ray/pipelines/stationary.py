@@ -41,8 +41,8 @@ from eristropy_ray.kernels.linreg import detrend_linreg
 from eristropy_ray.kernels.multitest import holm_sidak
 from eristropy_ray.stages.signals import (
     _sorted_groups,
-    adf_partition,
     difference_partition,
+    make_adf_partition,
     zscore_plain_partition,
 )
 
@@ -70,10 +70,24 @@ class StationaryConfig:
     # reference gp.py:18-113) with the id-column bug (gp.py:104)
     # corrected — the alias normalizes in __post_init__.
     gp_implementation: str = "numba"
+    # ADF user surface beyond the reference's fixed ('c', AIC) call
+    # (reference stationarity.py:155 only ever uses the defaults):
+    # 'ct' adds a linear-trend regressor and switches to MacKinnon's
+    # 'ct' response surface; adf_autolag=None fixes the lag at
+    # adf_maxlag (0 when unset) instead of AIC-searching.
+    adf_regression: str = "c"  # "c" | "ct"
+    adf_autolag: str | None = "AIC"  # "AIC" | None
+    adf_maxlag: int | None = None
 
     def __post_init__(self) -> None:
         if self.method not in ("difference", "detrend"):
             raise ValueError("method must be 'difference' or 'detrend'")
+        if self.adf_regression not in ("c", "ct"):
+            raise ValueError("adf_regression must be 'c' or 'ct'")
+        if self.adf_autolag not in ("AIC", None):
+            raise ValueError("adf_autolag must be 'AIC' or None")
+        if self.adf_maxlag is not None and self.adf_maxlag < 0:
+            raise ValueError("adf_maxlag must be >= 0")
         if self.detrend_type not in ("lr", "gp"):
             raise ValueError("detrend_type must be 'lr' or 'gp'")
         if self.gp_implementation == "sklearn":
@@ -186,7 +200,12 @@ def make_stationary_signals(
 
     # barrier: one (signal_id, pvalue) scalar per signal to the driver
     pvals = (
-        _grouped(transformed, adf_partition)
+        _grouped(
+            transformed,
+            make_adf_partition(
+                cfg.adf_regression, cfg.adf_autolag, cfg.adf_maxlag
+            ),
+        )
         .to_pandas()
         .sort_values("signal_id", kind="stable")
         .reset_index(drop=True)

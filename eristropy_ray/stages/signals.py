@@ -113,16 +113,35 @@ def entropy_partition(
     return pd.DataFrame(rows)
 
 
-def adf_partition(df: pd.DataFrame) -> pd.DataFrame:
-    sdf, starts, _ = _sorted_groups(df)
-    v = sdf["value"].to_numpy(dtype=np.float64)
-    ends = np.append(starts[1:], v.size)
-    rows = {"signal_id": [], "pvalue": [], "n_obs": []}
-    for s, e in zip(starts, ends):
-        rows["signal_id"].append(sdf["signal_id"].iloc[s])
-        rows["pvalue"].append(adf_pvalue_or_one(v[s:e]))
-        rows["n_obs"].append(int(e - s))
-    return pd.DataFrame(rows)
+def make_adf_partition(
+    regression: str = "c",
+    autolag: str | None = "AIC",
+    maxlag: int | None = None,
+):
+    """Parameterized A1 stage: per-signal ADF p-values with the widened
+    user surface ('ct' trend regression, fixed-lag autolag=None) —
+    defaults reproduce the reference's only configuration."""
+
+    def adf_partition(df: pd.DataFrame) -> pd.DataFrame:
+        sdf, starts, _ = _sorted_groups(df)
+        v = sdf["value"].to_numpy(dtype=np.float64)
+        ends = np.append(starts[1:], v.size)
+        rows = {"signal_id": [], "pvalue": [], "n_obs": []}
+        for s, e in zip(starts, ends):
+            rows["signal_id"].append(sdf["signal_id"].iloc[s])
+            rows["pvalue"].append(
+                adf_pvalue_or_one(
+                    v[s:e], regression=regression, autolag=autolag, maxlag=maxlag
+                )
+            )
+            rows["n_obs"].append(int(e - s))
+        return pd.DataFrame(rows)
+
+    return adf_partition
+
+
+#: default-configuration stage (reference parity: 'c' + AIC)
+adf_partition = make_adf_partition()
 
 
 def zscore_plain_partition(df: pd.DataFrame) -> pd.DataFrame:

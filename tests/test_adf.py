@@ -191,3 +191,136 @@ def test_adfuller_matches_statsmodels_conventions():
         np.testing.assert_allclose(
             got_p, mackinnon_pvalue(want_stat), rtol=1e-10, err_msg=name
         )
+
+
+# ---------------------------------------------------------------------------
+# round-5 user-surface widening: regression='ct' and autolag=None, pinned by
+# the same independent-transliteration approach plus the published MacKinnon
+# 'ct' asymptotic critical values.
+# ---------------------------------------------------------------------------
+
+
+def _sm_adfuller_ct(x):
+    """Independent transliteration of adfuller(x, regression='ct',
+    autolag='AIC'): add_trend appends const then t=1..nobs; autolag
+    design prepends the deterministic terms; final refit appends them."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    xdiff = np.diff(x)
+    nobs_d = xdiff.size
+    maxlag = int(np.ceil(12.0 * (n / 100.0) ** 0.25))
+    maxlag = min(n // 2 - 3, maxlag)  # ntrend=2 cap: n//2 - ntrend - 1
+    nobs = nobs_d - maxlag
+    xdshort = xdiff[-nobs:]
+    lags = np.column_stack(
+        [xdiff[maxlag - k : nobs_d - k] for k in range(1, maxlag + 1)]
+    ) if maxlag else np.empty((nobs, 0))
+    level = x[-nobs - 1 : -1]
+    const = np.ones(nobs)
+    trend = np.arange(1.0, nobs + 1.0)
+    best = None
+    for nlag in range(0, maxlag + 1):
+        X = np.column_stack([const, trend, level, lags[:, :nlag]])
+        _, _, aic = _sm_ols(xdshort, X)
+        key = (aic, nlag)
+        if best is None or key < best:
+            best = key
+    usedlag = best[1]
+    nobs2 = nobs_d - usedlag
+    xdshort2 = xdiff[-nobs2:]
+    lags2 = np.column_stack(
+        [xdiff[usedlag - k : nobs_d - k] for k in range(1, usedlag + 1)]
+    ) if usedlag else np.empty((nobs2, 0))
+    X2 = np.column_stack(
+        [x[-nobs2 - 1 : -1], lags2, np.ones(nobs2), np.arange(1.0, nobs2 + 1.0)]
+    )
+    _, tvals, _ = _sm_ols(xdshort2, X2)
+    return float(tvals[0]), usedlag
+
+
+def test_adfuller_ct_matches_transliteration():
+    from eristropy_ray.kernels.adf import adfuller, mackinnon_pvalue
+
+    for name, x in _golden_series():
+        want_stat, want_lag = _sm_adfuller_ct(x)
+        got_stat, got_p, got_lag = adfuller(x, regression="ct")
+        assert got_lag == want_lag, (name, got_lag, want_lag)
+        np.testing.assert_allclose(got_stat, want_stat, rtol=1e-8, err_msg=name)
+        # deep-tail p-values amplify the stat's last-ulp difference, so
+        # the pin is rtol 1e-6 with a tail atol (stat itself is 1e-8)
+        np.testing.assert_allclose(
+            got_p,
+            mackinnon_pvalue(want_stat, "ct"),
+            rtol=1e-6,
+            atol=1e-18,
+            err_msg=name,
+        )
+
+
+def test_adfuller_fixed_lag_matches_direct_regression():
+    from eristropy_ray.kernels.adf import adfuller
+
+    rng = np.random.default_rng(77)
+    x = np.cumsum(rng.normal(size=180))
+    for reg in ("c", "ct"):
+        for lag in (0, 1, 3):
+            got_stat, _, got_lag = adfuller(
+                x, regression=reg, autolag=None, maxlag=lag
+            )
+            assert got_lag == lag
+            # direct longest-sample regression, independently assembled
+            xdiff = np.diff(x)
+            nobs = xdiff.size - lag
+            cols = [x[-nobs - 1 : -1]]
+            for k in range(1, lag + 1):
+                cols.append(xdiff[lag - k : xdiff.size - k])
+            cols.append(np.ones(nobs))
+            if reg == "ct":
+                cols.append(np.arange(1.0, nobs + 1.0))
+            _, tvals, _ = _sm_ols(xdiff[-nobs:], np.column_stack(cols))
+            np.testing.assert_allclose(got_stat, float(tvals[0]), rtol=1e-8)
+    # autolag=None with maxlag unset -> lag 0
+    assert adfuller(x, autolag=None)[2] == 0
+
+
+def test_mackinnon_ct_published_critical_values():
+    from eristropy_ray.kernels.adf import mackinnon_pvalue
+
+    # MacKinnon (2010) asymptotic critical values for tau_ct, N=1
+    assert abs(mackinnon_pvalue(-3.96, "ct") - 0.01) < 0.003
+    assert abs(mackinnon_pvalue(-3.41, "ct") - 0.05) < 0.003
+    assert abs(mackinnon_pvalue(-3.12, "ct") - 0.10) < 0.005
+    # small/large-p branches join continuously at tau_star_ct = -2.89
+    lo = mackinnon_pvalue(-2.890001, "ct")
+    hi = mackinnon_pvalue(-2.889999, "ct")
+    assert abs(lo - hi) < 1e-3
+    # monotone over the supported range
+    grid = np.linspace(-16, 0.69, 300)
+    ps = [mackinnon_pvalue(t, "ct") for t in grid]
+    assert all(a <= b + 1e-12 for a, b in zip(ps, ps[1:]))
+
+
+def test_adfuller_ct_detects_trend_stationarity(rng):
+    from eristropy_ray.kernels.adf import adfuller
+
+    # trend-stationary series: 'ct' rejects the unit root, 'c' cannot
+    t = np.arange(300.0)
+    x = 0.5 * t + rng.normal(size=300)
+    _, p_ct, _ = adfuller(x, regression="ct")
+    _, p_c, _ = adfuller(x, regression="c")
+    assert p_ct < 0.01
+    assert p_c > 0.10
+
+
+def test_stationary_config_adf_validation():
+    import pytest as _pytest
+
+    from eristropy_ray.pipelines.stationary import StationaryConfig
+
+    StationaryConfig(adf_regression="ct", adf_autolag=None, adf_maxlag=2)
+    with _pytest.raises(ValueError):
+        StationaryConfig(adf_regression="ctt")
+    with _pytest.raises(ValueError):
+        StationaryConfig(adf_autolag="BIC")
+    with _pytest.raises(ValueError):
+        StationaryConfig(adf_maxlag=-1)
