@@ -1766,8 +1766,10 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
     wordcount's (word, count) exchange is vocabulary-sized; this one is
     constant per batch). Estimates undercount by at most
     n_total/k_summary (mergeability bound, Agarwal et al. PODS'12) —
-    pinned against exact counts in tests/test_datapipe.py. Rows-only:
-    approximate by design."""
+    pinned against exact counts in tests/test_datapipe.py. Oracle-backed
+    since round 5: when the corpus vocabulary fits k_summary (true of
+    the test corpus: 31 words << 256) MG never evicts, estimates equal
+    exact counts, and the SQL twin checks the entire distributed plan."""
     from eristropy_ray.datapipe.sketch import mg_merge, mg_summary
     from eristropy_ray.datapipe.textstats import content_hash64
 
@@ -3083,7 +3085,7 @@ QUERIES = {
     "rolling_mean": q_rolling_mean,
     "running_sum": q_running_sum,
     "topk_per_user": q_topk_per_user,
-    "event_types": q_event_types,
+    "heavy_hitters": q_heavy_hitters,
     "pricing_summary": q_pricing_summary,
     "asof_purchase_click": q_asof_purchase_click,
     "clicks_before_purchase": q_clicks_before_purchase,
@@ -3100,7 +3102,10 @@ QUERIES = {
     "tier_block_enc": q_tier_block_enc,
     "fingerprints": q_fingerprints,
     "simhash": q_simhash,
-    "heavy_hitters": q_heavy_hitters,
+    # event_types rotated out of the oracle prefix in round 5 (its
+    # trivial-groupby shape is already hash-covered by doc_counts_by_lang)
+    # to free the slot for heavy_hitters' full distributed sketch plan
+    "event_types": q_event_types,
     "multimodal_features": q_multimodal_features,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
@@ -3485,8 +3490,19 @@ SELECT p.event_id, p.user_id, p.ts_us,
 FROM p ASOF JOIN c
   ON p.user_id = c.user_id AND p.ts_us > c.click_ts_us
 """,
-    "event_types": """
-SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    # heavy_hitters' twin is exact because the test corpus vocabulary
+    # (31 words) is far below k_summary=256: Misra-Gries never evicts,
+    # so every estimate equals the exact count and the whole distributed
+    # sketch plan (per-batch summaries -> per-part merges -> final merge
+    # -> (est DESC, word ASC) top-n) is hash-checkable — the same
+    # full-capacity pattern that makes ann_ivf oracle-checkable via
+    # n_probe=n_cells. The n/k undercount bound for the general case
+    # keeps its own pin in tests/test_datapipe.py.
+    "heavy_hitters": f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS est
+FROM (SELECT unnest(regexp_extract_all(text, {_sql_regex(_WS_TOKEN_PAT)})) AS word
+      FROM documents)
+GROUP BY word ORDER BY est DESC, word LIMIT 20
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
