@@ -330,6 +330,16 @@ def scaling() -> None:
     uniform inflation cancels in the throughput ratio."""
     results = {}
     pair_eff: dict[str, list[float]] = {}
+    # footprint overrides for gated attempts in SHORT quiet windows
+    # (round-4 forensics: interference arrives in multi-minute waves, and
+    # the full 8-leg invocation (~7 min) rarely fits between them; a
+    # single time-adjacent (8,32) pair (~1 min) often does). Defaults
+    # reproduce the full invocation.
+    pairs_env = os.environ.get("GRAFT_SCALING_PAIRS", "8:32,4:16")
+    pairs = [
+        tuple(int(v) for v in p.split(":")) for p in pairs_env.split(",")
+    ]
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
 
     def _run_level(ncpu: int) -> dict:
         env = dict(
@@ -351,8 +361,8 @@ def scaling() -> None:
             results[ncpu] = run
         return run
 
-    for lo, hi in ((8, 32), (4, 16)):
-        for _rep in range(2):  # best-of-2 per level: the VM is noisy
+    for lo, hi in pairs:
+        for _rep in range(reps):  # best-of-2 per level: the VM is noisy
             # adjacent (lo, hi) runs see near-identical VM state, so the
             # per-rep pair ratio is robust to uniform noise — reported as
             # a diagnostic beside the min-per-level headline
@@ -364,20 +374,20 @@ def scaling() -> None:
                 )
             )
     t = {n: results[n]["turns_per_sec"] for n in results}
-    print(
-        json.dumps(
-            {
-                "metric": "N->4N scaling (fresh sessions, same input)",
-                "sec": {str(n): results[n]["value"] for n in results},
-                "turns_per_sec": t,
-                "scaling_efficiency_8_32": round((t[32] / t[8]) / 4.0, 3),
-                "scaling_efficiency_4_16": round((t[16] / t[4]) / 4.0, 3),
-                "pair_efficiency_per_rep": pair_eff,
-                "sf": results[32]["sf"],
-                "turns": results[32]["turns"],
-            }
+    record = {
+        "metric": "N->4N scaling (fresh sessions, same input)",
+        "sec": {str(n): results[n]["value"] for n in results},
+        "turns_per_sec": t,
+        "pair_efficiency_per_rep": pair_eff,
+    }
+    for lo, hi in pairs:
+        record[f"scaling_efficiency_{lo}_{hi}"] = round(
+            (t[hi] / t[lo]) / 4.0, 3
         )
-    )
+    any_level = max(t)
+    record["sf"] = results[any_level]["sf"]
+    record["turns"] = results[any_level]["turns"]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
