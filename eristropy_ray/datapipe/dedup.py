@@ -152,6 +152,8 @@ def batch_hash128(arr) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
+    if n == 0:  # empty arrays may carry None buffers
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     off_dtype = (
         np.int64 if pa.types.is_large_string(arr.type) else np.int32
     )
@@ -235,6 +237,8 @@ def _arrow_flat_utf8(arr) -> tuple[np.ndarray, np.ndarray, int]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
+    if n == 0:  # empty arrays may carry None buffers
+        return np.empty(0, np.uint8), np.zeros(1, np.int64), 0
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=off_dtype)[

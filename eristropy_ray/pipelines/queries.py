@@ -361,48 +361,56 @@ def q_token_counts(sf_dir: str):
     str engine; the regex is RE2-compatible so the SQL twin is exact)."""
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fn(b: pa.Table) -> pa.Table:
+        # count_substring_regex = RE2 non-overlapping match count — the
+        # same engine the SQL twin runs, C-speed on the Arrow buffer
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_tokens": df["text"]
-                .str.findall(_WS_TOKEN_PAT)
-                .str.len()
-                .astype("int64"),
-                "n_bpe_tokens": df["text"]
-                .str.findall(_BPE_PAT)
-                .str.len()
-                .astype("int64"),
+                "doc_id": b["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=_WS_TOKEN_PAT),
+                    pa.int64(),
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=_BPE_PAT),
+                    pa.int64(),
+                ),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def q_quality_scores(sf_dir: str):
     """Quality scoring: exact integer counts + deterministic ratios."""
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        n_chars = df["text"].str.len().astype("int64")
-        n_punct = df["text"].str.count(r"[.!?,;:]").astype("int64")
-        n_upper = df["text"].str.count(r"[A-Z]").astype("int64")
-        return pd.DataFrame(
+    def fn(b: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(b["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_punct = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=r"[.!?,;:]"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n_upper = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=r"[A-Z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        # max(n,1): an empty doc scores 0.0 on BOTH engines
+        # (0/0 would be NaN here but NULL in DuckDB)
+        denom = np.maximum(n_chars, 1)
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_chars": n_chars,
-                "n_punct": n_punct,
-                "n_upper": n_upper,
-                # max(n,1): an empty doc scores 0.0 on BOTH engines
-                # (0/0 would be NaN here but NULL in DuckDB)
-                "punct_ratio": n_punct.to_numpy()
-                / np.maximum(n_chars.to_numpy(), 1),
-                "upper_ratio": n_upper.to_numpy()
-                / np.maximum(n_chars.to_numpy(), 1),
+                "doc_id": b["doc_id"],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "n_upper": pa.array(n_upper, pa.int64()),
+                "punct_ratio": pa.array(n_punct / denom, pa.float64()),
+                "upper_ratio": pa.array(n_upper / denom, pa.float64()),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def q_similarity_topk(sf_dir: str, k: int = 10):
@@ -1845,16 +1853,22 @@ def q_pii_counts(sf_dir: str):
     patterns, generated from the same constants."""
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
-                "n_emails": df["text"].str.count(_EMAIL_PAT).astype("int64"),
-                "n_urls": df["text"].str.count(_URL_PAT).astype("int64"),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_emails": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=_EMAIL_PAT),
+                    pa.int64(),
+                ),
+                "n_urls": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=_URL_PAT),
+                    pa.int64(),
+                ),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def q_split_contamination(sf_dir: str):
@@ -2071,34 +2085,54 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
     dedup (content-hash groupby, keep min doc_id) -> English-only
     (langid) -> token counts. One streaming pass plus one dedup shuffle
     of (hash, id, tokens) triples; binary-exact vs a composed SQL twin."""
+    from eristropy_ray.datapipe.dedup import batch_hash128
     from eristropy_ray.datapipe.textstats import langid_predict
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def score_filter(df: pd.DataFrame) -> pd.DataFrame:
-        n_chars = df["text"].str.len()
-        punct = df["text"].str.count(r"[.!?,;:]")
-        keep = (n_chars >= min_chars) & (punct / n_chars < max_punct)
-        sub = df[keep]
-        langs = [langid_predict(t) for t in sub["text"]]
-        sub = sub[np.asarray(langs) == "en"] if len(sub) else sub
-        return pd.DataFrame(
+    def score_filter(b: pa.Table) -> pa.Table:
+        # Arrow-native filters; only the langid heuristic (per-row
+        # stopword scoring, ~60 µs/doc) runs on the already-filtered
+        # subset. Dedup keys are the vectorized 128-bit buffer digest
+        # (two int64 shuffle keys, same plan as q_dedup_exact).
+        n_chars = pc.utf8_length(b["text"])
+        punct = pc.count_substring_regex(b["text"], pattern=r"[.!?,;:]")
+        keep = pc.and_(
+            pc.greater_equal(n_chars, min_chars),
+            pc.less(
+                pc.divide(
+                    pc.cast(punct, pa.float64()),
+                    pc.cast(n_chars, pa.float64()),
+                ),
+                max_punct,
+            ),
+        )
+        sub = b.filter(pc.fill_null(keep, False))
+        if sub.num_rows:
+            en = np.fromiter(
+                (langid_predict(t) == "en" for t in sub["text"].to_pylist()),
+                dtype=bool,
+                count=sub.num_rows,
+            )
+            sub = sub.filter(pa.array(en))
+        h1, h2 = batch_hash128(sub["text"])
+        return pa.table(
             {
-                "h": [
-                    hashlib.sha1(t.encode("utf-8")).hexdigest()
-                    for t in sub["text"]
-                ],
-                "doc_id": sub["doc_id"].to_numpy(dtype=np.int64),
-                "n_tokens": sub["text"]
-                .str.findall(_WS_TOKEN_PAT)
-                .str.len()
-                .astype("int64"),
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                "doc_id": pc.cast(sub["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        sub["text"], pattern=_WS_TOKEN_PAT
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
     deduped = (
-        ds.map_batches(score_filter, batch_format="pandas")
-        .groupby("h")
+        ds.map_batches(score_filter, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
         .aggregate(
             Min("doc_id", alias_name="doc_id"),
             Min("n_tokens", alias_name="n_tokens"),  # same text -> same count
