@@ -678,8 +678,10 @@ def q_doc_bytes(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language ID (stopword/CJK n-gram scoring; rows-only —
-    the synthetic corpus has no language signal to compare labels to)."""
+    """Heuristic language ID (stopword/CJK n-gram scoring). Oracle-backed:
+    the SQL twin is generated from the SAME stopword sets (_langid_sql),
+    so the per-doc labels are hash-checked even though the synthetic
+    corpus carries no real language signal."""
     from eristropy_ray.datapipe.textstats import langid_predict
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
