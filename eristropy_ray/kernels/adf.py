@@ -27,17 +27,25 @@ import math
 import numpy as np
 
 # MacKinnon approximate-p-value surfaces, one unit root (N=1), for the
-# constant ('c') and constant+trend ('ct') regressions. Published in
-# MacKinnon (1994) "Approximate asymptotic distribution functions for
-# unit-root and cointegration tests". The 'ct' row is pinned by its
-# published asymptotic critical values in test_adf.py
-# (p(-3.96)=0.01, p(-3.41)=0.05, p(-3.12)=0.10) and by small/large
+# no-deterministic ('n'), constant ('c'), constant+trend ('ct') and
+# constant+trend+trend² ('ctt') regressions. Published in MacKinnon
+# (1994) "Approximate asymptotic distribution functions for unit-root
+# and cointegration tests". Each row is pinned in test_adf.py by its
+# published asymptotic critical values — e.g. 'ct': p(-3.96)=0.01,
+# p(-3.41)=0.05, p(-3.12)=0.10; 'n': p(-2.56)=0.01, p(-1.94)=0.05,
+# p(-1.62)=0.10 (the classic Dickey-Fuller no-constant row); 'ctt':
+# p(-4.37)=0.01, p(-3.83)=0.05, p(-3.55)=0.10 — and by small/large
 # branch continuity at tau_star.
 _TAU_SURFACE = {
     # regression: (tau_max, tau_min, tau_star, smallp, largep)
+    "n": (
+        math.inf, -19.04, -1.04,
+        (0.6344, 1.2378, 0.032496),  # p = Phi(c0 + c1 t + c2 t^2)
+        (0.4797, 0.93557, -0.06999, 0.033066),
+    ),
     "c": (
         2.74, -18.83, -1.61,
-        (2.1659, 1.4412, 0.038269),  # p = Phi(c0 + c1 t + c2 t^2)
+        (2.1659, 1.4412, 0.038269),
         (1.7339, 0.93202, -0.12745, -0.010368),
     ),
     "ct": (
@@ -45,7 +53,15 @@ _TAU_SURFACE = {
         (3.2512, 1.6047, 0.049588),
         (2.5261, 0.61654, -0.37956, -0.060285),
     ),
+    "ctt": (
+        0.54, -17.17, -3.21,
+        (4.0003, 1.658, 0.048288),
+        (3.0778, 0.49529, -0.41477, -0.059359),
+    ),
 }
+
+# deterministic-regressor count per regression (the cap's subtrahend)
+_NTREND = {"n": 0, "c": 1, "ct": 2, "ctt": 3}
 
 
 def _norm_cdf(x: float) -> float:
@@ -70,34 +86,53 @@ def mackinnon_pvalue(stat: float, regression: str = "c") -> float:
     return _norm_cdf(z)
 
 
-def _ols_tstat0_and_aic(y: np.ndarray, X: np.ndarray) -> tuple[float, float]:
-    """(t-stat of first column's coefficient, AIC) of OLS y ~ X."""
+def _ols_tstat_and_ic(
+    y: np.ndarray, X: np.ndarray, col: int = 0
+) -> tuple[float, float, float]:
+    """(t-stat of column ``col``'s coefficient, AIC, BIC) of OLS y ~ X.
+
+    The AIC float-expression order is pinned by the golden 'c'+AIC path
+    (test_adf.py transliteration goldens) — do not reorder.
+    """
     n, k = X.shape
     beta, _, rank, _ = np.linalg.lstsq(X, y, rcond=None)
     resid = y - X @ beta
     ssr = float(resid @ resid)
-    # Gaussian log-likelihood at the MLE; AIC = -2 llf + 2 k
+    # Gaussian log-likelihood at the MLE; AIC = -2 llf + 2 k,
+    # BIC = -2 llf + log(n) k (statsmodels' definitions)
     if ssr <= 0.0:
         ssr = np.finfo(np.float64).tiny
     llf = -0.5 * n * (math.log(2.0 * math.pi) + math.log(ssr / n) + 1.0)
     aic = -2.0 * llf + 2.0 * rank
+    bic = -2.0 * llf + math.log(n) * rank
     dof = n - rank
     if dof <= 0:
-        return math.nan, aic
+        return math.nan, float(aic), float(bic)
     sigma2 = ssr / dof
     xtx_inv = np.linalg.pinv(X.T @ X)
-    se0 = math.sqrt(max(sigma2 * xtx_inv[0, 0], 0.0))
-    t0 = beta[0] / se0 if se0 > 0 else math.nan
-    return float(t0), float(aic)
+    se = math.sqrt(max(sigma2 * xtx_inv[col, col], 0.0))
+    t = beta[col] / se if se > 0 else math.nan
+    return float(t), float(aic), float(bic)
+
+
+def _ols_tstat0_and_aic(y: np.ndarray, X: np.ndarray) -> tuple[float, float]:
+    """(t-stat of first column's coefficient, AIC) of OLS y ~ X."""
+    t0, aic, _ = _ols_tstat_and_ic(y, X, 0)
+    return t0, aic
 
 
 def _trend_cols(nobs: int, regression: str) -> list[np.ndarray]:
     """Deterministic regressors appended after the stochastic columns:
-    'c' -> [1]; 'ct' -> [1, t] with t = 1..nobs (the statsmodels
-    ``add_trend`` convention)."""
+    'n' -> []; 'c' -> [1]; 'ct' -> [1, t]; 'ctt' -> [1, t, t²] with
+    t = 1..nobs (the statsmodels ``add_trend`` convention)."""
+    if regression == "n":
+        return []
     cols = [np.ones(nobs)]
-    if regression == "ct":
-        cols.append(np.arange(1.0, nobs + 1.0))
+    if regression in ("ct", "ctt"):
+        t = np.arange(1.0, nobs + 1.0)
+        cols.append(t)
+        if regression == "ctt":
+            cols.append(t * t)
     return cols
 
 
@@ -126,10 +161,15 @@ def adfuller(
 ) -> tuple[float, float, int]:
     """ADF test with the library's configurable surface.
 
-    regression: 'c' (constant — the reference's only configuration) or
-        'ct' (constant + linear trend; MacKinnon 'ct' response surface).
+    regression: 'c' (constant — the reference's only configuration),
+        'ct' (constant + linear trend), 'ctt' (constant + linear +
+        quadratic trend) or 'n' (no deterministic terms; alias 'nc'),
+        each with its MacKinnon response surface.
     autolag: 'AIC' selects the lag by AIC over 0..maxlag on the common
-        sample (library default); None uses ``maxlag`` as the FIXED lag
+        sample (library default); 'BIC' likewise by BIC; 't-stat' walks
+        down from maxlag and keeps the first lag whose highest-order
+        Δ-lag coefficient is significant at 5% (|t| > 1.6449, the
+        statsmodels convention); None uses ``maxlag`` as the FIXED lag
         (statsmodels ``autolag=None`` semantics; maxlag defaults to 0
         then).
 
@@ -140,13 +180,17 @@ def adfuller(
         ValueError: series too short for any ADF regression — callers
         mirror the reference's fallback (p = 1.0, stationarity.py:158-163).
     """
+    if regression == "nc":  # statsmodels' deprecated alias
+        regression = "n"
     if regression not in _TAU_SURFACE:
         raise ValueError(f"regression must be one of {sorted(_TAU_SURFACE)}")
-    if autolag not in ("AIC", None):
-        raise ValueError("autolag must be 'AIC' or None (fixed lag)")
+    if autolag not in ("AIC", "BIC", "t-stat", None):
+        raise ValueError(
+            "autolag must be 'AIC', 'BIC', 't-stat' or None (fixed lag)"
+        )
     x = np.ascontiguousarray(x, dtype=np.float64)
     n = x.size
-    ntrend = 2 if regression == "ct" else 1
+    ntrend = _NTREND[regression]
     if n and np.all(x == x[0]):
         # statsmodels raises "Invalid input, x is constant"; callers map
         # the ValueError to the reference's p = 1.0 fallback
@@ -166,7 +210,7 @@ def adfuller(
     if autolag is None:
         usedlag = maxlag
     else:
-        # AIC selection: all candidate lags fit on the common (shortest) sample
+        # IC selection: all candidate lags fit on the common (shortest) sample
         dx = np.diff(x)
         nobs = dx.size - maxlag
         if nobs < 2:
@@ -177,15 +221,31 @@ def adfuller(
             dx[maxlag - k : maxlag - k + nobs] for k in range(1, maxlag + 1)
         ]
         trend = _trend_cols(nobs, regression)
-        best = (math.inf, 0)
-        for lag in range(0, maxlag + 1):
-            X = np.column_stack([level, *lag_cols[:lag], *trend])
-            if X.shape[0] <= X.shape[1]:
-                break
-            _, aic = _ols_tstat0_and_aic(y, X)
-            if aic < best[0]:
-                best = (aic, lag)
-        usedlag = best[1]
+        if autolag == "t-stat":
+            # statsmodels: walk DOWN from maxlag, keep the first lag whose
+            # highest-order coefficient (the level itself at lag 0 —
+            # tvalues[-1] with trend prepended) is significant at 5%
+            stop = 1.6448536269514722  # Phi^{-1}(0.95)
+            usedlag = 0
+            for lag in range(maxlag, -1, -1):
+                X = np.column_stack([level, *lag_cols[:lag], *trend])
+                if X.shape[0] <= X.shape[1]:
+                    continue
+                t_last, _, _ = _ols_tstat_and_ic(y, X, col=lag)
+                if np.isfinite(t_last) and abs(t_last) > stop:
+                    usedlag = lag
+                    break
+        else:
+            ic_index = 1 if autolag == "AIC" else 2
+            best = (math.inf, 0)
+            for lag in range(0, maxlag + 1):
+                X = np.column_stack([level, *lag_cols[:lag], *trend])
+                if X.shape[0] <= X.shape[1]:
+                    break
+                ic = _ols_tstat_and_ic(y, X)[ic_index]
+                if ic < best[0]:
+                    best = (ic, lag)
+            usedlag = best[1]
     # final regression on the longest sample for the chosen lag
     y2, X2 = _design(x, usedlag, regression)
     if X2.shape[0] <= X2.shape[1]:

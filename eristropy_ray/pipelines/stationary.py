@@ -72,20 +72,27 @@ class StationaryConfig:
     gp_implementation: str = "numba"
     # ADF user surface beyond the reference's fixed ('c', AIC) call
     # (reference stationarity.py:155 only ever uses the defaults):
-    # 'ct' adds a linear-trend regressor and switches to MacKinnon's
-    # 'ct' response surface; adf_autolag=None fixes the lag at
-    # adf_maxlag (0 when unset) instead of AIC-searching.
-    adf_regression: str = "c"  # "c" | "ct"
-    adf_autolag: str | None = "AIC"  # "AIC" | None
+    # the full statsmodels regression set ('n'/'c'/'ct'/'ctt', each
+    # with its MacKinnon response surface) and autolag modes ('AIC',
+    # 'BIC', 't-stat'); adf_autolag=None fixes the lag at adf_maxlag
+    # (0 when unset) instead of IC-searching.
+    adf_regression: str = "c"  # "n" | "c" | "ct" | "ctt"
+    adf_autolag: str | None = "AIC"  # "AIC" | "BIC" | "t-stat" | None
     adf_maxlag: int | None = None
 
     def __post_init__(self) -> None:
         if self.method not in ("difference", "detrend"):
             raise ValueError("method must be 'difference' or 'detrend'")
-        if self.adf_regression not in ("c", "ct"):
-            raise ValueError("adf_regression must be 'c' or 'ct'")
-        if self.adf_autolag not in ("AIC", None):
-            raise ValueError("adf_autolag must be 'AIC' or None")
+        if self.adf_regression == "nc":  # statsmodels' deprecated alias
+            object.__setattr__(self, "adf_regression", "n")
+        if self.adf_regression not in ("n", "c", "ct", "ctt"):
+            raise ValueError(
+                "adf_regression must be one of 'n', 'c', 'ct', 'ctt'"
+            )
+        if self.adf_autolag not in ("AIC", "BIC", "t-stat", None):
+            raise ValueError(
+                "adf_autolag must be 'AIC', 'BIC', 't-stat' or None"
+            )
         if self.adf_maxlag is not None and self.adf_maxlag < 0:
             raise ValueError("adf_maxlag must be >= 0")
         if self.detrend_type not in ("lr", "gp"):

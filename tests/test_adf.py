@@ -318,9 +318,181 @@ def test_stationary_config_adf_validation():
     from eristropy_ray.pipelines.stationary import StationaryConfig
 
     StationaryConfig(adf_regression="ct", adf_autolag=None, adf_maxlag=2)
+    StationaryConfig(adf_regression="ctt", adf_autolag="BIC")
+    StationaryConfig(adf_regression="n", adf_autolag="t-stat")
+    # statsmodels' deprecated alias normalizes
+    assert StationaryConfig(adf_regression="nc").adf_regression == "n"
     with _pytest.raises(ValueError):
-        StationaryConfig(adf_regression="ctt")
+        StationaryConfig(adf_regression="ctttt")
     with _pytest.raises(ValueError):
-        StationaryConfig(adf_autolag="BIC")
+        StationaryConfig(adf_autolag="HQIC")
     with _pytest.raises(ValueError):
         StationaryConfig(adf_maxlag=-1)
+
+
+# ---------------------------------------------------------------------------
+# full statsmodels user surface ('n'/'ctt' regressions; BIC/t-stat autolag),
+# pinned by the same independent-transliteration approach. The
+# transliteration uses pinv-based OLS (statsmodels' own default solver)
+# in the statsmodels column order (deterministic terms PREPENDED during
+# selection, appended in the final refit).
+# ---------------------------------------------------------------------------
+
+
+def _sm_ols_ic(y, X):
+    """pinv OLS -> (beta, tvals, aic, bic), statsmodels definitions."""
+    xtx_inv = np.linalg.pinv(X.T @ X)
+    beta = xtx_inv @ (X.T @ y)
+    resid = y - X @ beta
+    ssr = float(resid @ resid)
+    n, k = X.shape
+    llf = -0.5 * n * (np.log(2 * np.pi) + np.log(ssr / n) + 1.0)
+    aic = -2.0 * llf + 2.0 * k
+    bic = -2.0 * llf + np.log(n) * k
+    sigma2 = ssr / (n - k)
+    se = np.sqrt(np.diag(sigma2 * xtx_inv))
+    return beta, beta / se, aic, bic
+
+
+def _sm_adfuller_any(x, regression, autolag):
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    xdiff = np.diff(x)
+    nobs_d = xdiff.size
+    ntrend = {"n": 0, "c": 1, "ct": 2, "ctt": 3}[regression]
+    maxlag = int(np.ceil(12.0 * (n / 100.0) ** 0.25))
+    maxlag = min(n // 2 - ntrend - 1, maxlag)
+    nobs = nobs_d - maxlag
+    xdshort = xdiff[-nobs:]
+    lags = np.column_stack(
+        [xdiff[maxlag - k : nobs_d - k] for k in range(1, maxlag + 1)]
+    ) if maxlag else np.empty((nobs, 0))
+    level = x[-nobs - 1 : -1]
+
+    def dets(m):
+        t = np.arange(1.0, m + 1.0)
+        return {
+            "n": [],
+            "c": [np.ones(m)],
+            "ct": [np.ones(m), t],
+            "ctt": [np.ones(m), t, t * t],
+        }[regression]
+
+    if autolag == "t-stat":
+        stop = 1.6448536269514722
+        usedlag = 0
+        for nlag in range(maxlag, -1, -1):
+            X = np.column_stack([*dets(nobs), level, lags[:, :nlag]])
+            _, tvals, _, _ = _sm_ols_ic(xdshort, X)
+            if abs(float(tvals[-1])) > stop:
+                usedlag = nlag
+                break
+    else:
+        best = None
+        for nlag in range(0, maxlag + 1):
+            X = np.column_stack([*dets(nobs), level, lags[:, :nlag]])
+            _, _, aic, bic = _sm_ols_ic(xdshort, X)
+            key = ((aic if autolag == "AIC" else bic), nlag)
+            if best is None or key < best:
+                best = key
+        usedlag = best[1]
+    nobs2 = nobs_d - usedlag
+    xdshort2 = xdiff[-nobs2:]
+    lags2 = np.column_stack(
+        [xdiff[usedlag - k : nobs_d - k] for k in range(1, usedlag + 1)]
+    ) if usedlag else np.empty((nobs2, 0))
+    X2 = np.column_stack([x[-nobs2 - 1 : -1], lags2, *dets(nobs2)])
+    _, tvals, _, _ = _sm_ols_ic(xdshort2, X2)
+    return float(tvals[0]), usedlag
+
+
+@pytest.mark.parametrize("regression", ["n", "ctt"])
+def test_adfuller_n_ctt_match_transliteration(regression):
+    from eristropy_ray.kernels.adf import adfuller
+
+    for name, x in _golden_series():
+        want_stat, want_lag = _sm_adfuller_any(x, regression, "AIC")
+        got_stat, got_p, got_lag = adfuller(x, regression=regression)
+        assert got_lag == want_lag, (name, got_lag, want_lag)
+        # 'ctt' designs carry an unnormalized t² column (condition number
+        # ~1e10+), so the cross-solver pin is looser than 'c'/'ct''s 1e-8
+        np.testing.assert_allclose(
+            got_stat, want_stat, rtol=1e-6, err_msg=name
+        )
+        np.testing.assert_allclose(
+            got_p,
+            mackinnon_pvalue(want_stat, regression),
+            rtol=1e-4,
+            atol=1e-12,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("autolag", ["BIC", "t-stat"])
+def test_adfuller_bic_tstat_match_transliteration(autolag):
+    from eristropy_ray.kernels.adf import adfuller
+
+    lag_diffs = 0
+    for name, x in _golden_series():
+        want_stat, want_lag = _sm_adfuller_any(x, "c", autolag)
+        got_stat, got_p, got_lag = adfuller(x, regression="c", autolag=autolag)
+        assert got_lag == want_lag, (name, got_lag, want_lag)
+        np.testing.assert_allclose(got_stat, want_stat, rtol=1e-8, err_msg=name)
+    # BIC must actually differ from AIC somewhere on the suite (the
+    # log(n)·k penalty prunes lags), else the switch is untested
+    if autolag == "BIC":
+        for name, x in _golden_series():
+            if adfuller(x, autolag="BIC")[2] != adfuller(x, autolag="AIC")[2]:
+                lag_diffs += 1
+        assert lag_diffs > 0
+
+
+def test_mackinnon_n_ctt_published_critical_values():
+    # Dickey-Fuller no-deterministic row, N=1 (MacKinnon 2010)
+    assert abs(mackinnon_pvalue(-2.56, "n") - 0.01) < 0.003
+    assert abs(mackinnon_pvalue(-1.94, "n") - 0.05) < 0.003
+    assert abs(mackinnon_pvalue(-1.62, "n") - 0.10) < 0.005
+    # constant + linear + quadratic trend row
+    assert abs(mackinnon_pvalue(-4.37, "ctt") - 0.01) < 0.003
+    assert abs(mackinnon_pvalue(-3.83, "ctt") - 0.05) < 0.003
+    assert abs(mackinnon_pvalue(-3.55, "ctt") - 0.10) < 0.005
+    # branch continuity at each tau_star; monotone over the range.
+    # (The published 'n' small/large fits join ~4e-3 apart — looser than
+    # 'c'/'ct'/'ctt'; the tolerance mirrors the surface, not our code.)
+    for reg, star, join_tol, lo_end, hi_end in (
+        ("n", -1.04, 5e-3, -19.0, 2.0),
+        ("ctt", -3.21, 1e-3, -17.1, 0.53),
+    ):
+        assert abs(
+            mackinnon_pvalue(star - 1e-6, reg) - mackinnon_pvalue(star + 1e-6, reg)
+        ) < join_tol
+        grid = np.linspace(lo_end, hi_end, 300)
+        ps = [mackinnon_pvalue(t, reg) for t in grid]
+        assert all(a <= b + 1e-12 for a, b in zip(ps, ps[1:]))
+    # 'n' has no upper cutoff short of +inf (tau_max_n = inf): a large
+    # positive stat still maps through the surface, never hard-1.0 clamps
+    assert mackinnon_pvalue(5.0, "n") <= 1.0
+
+
+def test_adfuller_nc_alias_and_fixed_lag_n_ctt():
+    from eristropy_ray.kernels.adf import adfuller
+
+    rng = np.random.default_rng(99)
+    x = np.cumsum(rng.normal(size=150))
+    assert adfuller(x, regression="nc") == adfuller(x, regression="n")
+    for reg in ("n", "ctt"):
+        for lag in (0, 2):
+            got_stat, _, got_lag = adfuller(
+                x, regression=reg, autolag=None, maxlag=lag
+            )
+            assert got_lag == lag
+            xdiff = np.diff(x)
+            nobs = xdiff.size - lag
+            cols = [x[-nobs - 1 : -1]]
+            for k in range(1, lag + 1):
+                cols.append(xdiff[lag - k : xdiff.size - k])
+            if reg == "ctt":
+                t = np.arange(1.0, nobs + 1.0)
+                cols.extend([np.ones(nobs), t, t * t])
+            _, tvals, _, _ = _sm_ols_ic(xdiff[-nobs:], np.column_stack(cols))
+            np.testing.assert_allclose(got_stat, float(tvals[0]), rtol=1e-6)
