@@ -974,15 +974,24 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
 
 
-def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+def _fsl2d(col: "pa.ChunkedArray") -> np.ndarray:
+    """Zero-copy a FixedSizeList column to a 2-D numpy array
+    (rows x list_size), respecting any slice offsets (``flatten()``,
+    not ``.values``)."""
+    arr = col.combine_chunks()
+    d = arr.type.list_size
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+
+
+def _merge_topk(tbl: pa.Table, k: int) -> pa.Table:
     """Merge per-partition kNN partials into the global top-k per query:
     sort by (qid, rounded-sim DESC, nid ASC) — the shared reproducible
     order — drop the self-match, keep the first k of each qid run.
     Shared by q_knn_all and q_ann_ivf (their partials both emit disjoint
     (qid, nid) rows with already-rounded sims)."""
-    qid = df["qid"].to_numpy()
-    nid = df["nid"].to_numpy()
-    sim = df["sim"].to_numpy()
+    qid = tbl.column("qid").to_numpy()
+    nid = tbl.column("nid").to_numpy()
+    sim = tbl.column("sim").to_numpy()
     order = np.lexsort((nid, -sim, qid))
     qid, nid, sim = qid[order], nid[order], sim[order]
     keep = nid != qid  # drop self-match
@@ -993,11 +1002,11 @@ def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
         starts, np.diff(np.concatenate((starts, [qid.size])))
     )
     top = rank < k
-    return pd.DataFrame(
+    return pa.table(
         {
-            "vec_id": qid[top].astype("int64"),
-            "neighbor_id": nid[top].astype("int64"),
-            "sim": np.round(sim[top], 4).astype("float64"),
+            "vec_id": pa.array(qid[top].astype(np.int64)),
+            "neighbor_id": pa.array(nid[top].astype(np.int64)),
+            "sim": pa.array(np.round(sim[top], 4).astype(np.float64)),
         }
     )
 
@@ -1061,19 +1070,22 @@ def q_knn_all(sf_dir: str, k: int = 5, n_parts: int = 8):
 
     routed = ds.map_batches(route, batch_format="pyarrow")
 
-    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
-        members = df[df["role"] == 0]
-        if members.empty:
-            return pd.DataFrame(
+    def part_topk(tbl: pa.Table) -> pa.Table:
+        role = tbl.column("role").to_numpy()
+        rid_all = tbl.column("rid").to_numpy()
+        mmask = role == 0
+        if not mmask.any():
+            return pa.table(
                 {
-                    "qid": pd.Series(dtype="int64"),
-                    "nid": pd.Series(dtype="int64"),
-                    "sim": pd.Series(dtype="float64"),
-                    "qpart": pd.Series(dtype="int64"),
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                    "qpart": pa.array([], pa.int64()),
                 }
             )
-        m = np.stack(members["vec"].to_numpy())
-        mids = members["rid"].to_numpy()
+        vecs_all = _fsl2d(tbl.column("vec"))
+        m = vecs_all[mmask]
+        mids = rid_all[mmask]
         # id-sort members so column index order == id order: the integer
         # key below then realizes (rounded sim DESC, id ASC), matching
         # the merge and the SQL oracle's row_number order exactly
@@ -1085,40 +1097,35 @@ def q_knn_all(sf_dir: str, k: int = 5, n_parts: int = 8):
         q_chunks, n_chunks, s_chunks = [], [], []
         # chunk queries so the sim matrix stays bounded regardless of
         # group size
-        for s in range(0, len(df), 1024):
-            sub = df.iloc[s : s + 1024]
-            q = np.stack(sub["vec"].to_numpy())
-            qids = sub["rid"].to_numpy()
+        for s in range(0, len(tbl), 1024):
+            q = vecs_all[s : s + 1024]
+            qids = rid_all[s : s + 1024]
             sims = np.round(q @ m.T, 4)
             key = np.rint(sims * 1e4).astype(np.int64) * n_m - col
             idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
             q_chunks.append(np.repeat(qids, kk))
             n_chunks.append(mids[idx].ravel())
             s_chunks.append(np.take_along_axis(sims, idx, axis=1).ravel())
-        qid = np.concatenate(q_chunks)
-        return pd.DataFrame(
+        qid = np.concatenate(q_chunks).astype(np.int64)
+        return pa.table(
             {
-                "qid": qid.astype("int64"),
-                "nid": np.concatenate(n_chunks).astype("int64"),
-                "sim": np.concatenate(s_chunks).astype("float64"),
-                "qpart": (qid % _NPARTS).astype("int64"),
+                "qid": pa.array(qid),
+                "nid": pa.array(np.concatenate(n_chunks).astype(np.int64)),
+                "sim": pa.array(np.concatenate(s_chunks).astype(np.float64)),
+                "qpart": pa.array(qid % _NPARTS),
             }
         )
 
-    def part_wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        return part_topk(df.drop(columns=["part"]))
-
-    part_wrapper.__name__ = "part_topk"
     partials = routed.groupby("part").map_groups(
-        part_wrapper, batch_format="pandas"
+        part_topk, batch_format="pyarrow"
     )
 
-    def merge_wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        return _merge_topk(df.drop(columns=["qpart"]), k)
+    def merge_wrapper(tbl: pa.Table) -> pa.Table:
+        return _merge_topk(tbl, k)
 
     merge_wrapper.__name__ = "merge_topk"
     return partials.groupby("qpart").map_groups(
-        merge_wrapper, batch_format="pandas"
+        merge_wrapper, batch_format="pyarrow"
     )
 
 
@@ -1272,18 +1279,24 @@ def q_ann_ivf(
     """
     routed = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
 
-    def super_topk(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"qid": pd.Series(dtype="int64"), "nid": pd.Series(dtype="int64"),
-             "sim": pd.Series(dtype="float64"), "qpart": pd.Series(dtype="int64")}
-        )
-        members = df[df["role"] == 0]
-        queries = df  # every row (member or routed copy) queries here
-        if members.empty or queries.empty:
-            return empty
-        m = np.stack(members["vec"].to_numpy())
-        mids = members["rid"].to_numpy()
-        mcells = members["cell"].to_numpy()
+    def super_topk(tbl: pa.Table) -> pa.Table:
+        role = tbl.column("role").to_numpy()
+        rid_all = tbl.column("rid").to_numpy()
+        mmask = role == 0
+        if not mmask.any() or len(tbl) == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                    "qpart": pa.array([], pa.int64()),
+                }
+            )
+        vecs_all = _fsl2d(tbl.column("vec"))
+        probes_all = _fsl2d(tbl.column("probes"))
+        m = vecs_all[mmask]
+        mids = rid_all[mmask]
+        mcells = tbl.column("cell").to_numpy()[mmask]
         # id-sort members so column index order == id order: the partial
         # selection key below then realizes (rounded sim DESC, id ASC) —
         # the same total order the merge and the SQL oracle rank by, so
@@ -1293,14 +1306,15 @@ def q_ann_ivf(
         n_m = m.shape[0]
         col = np.arange(n_m, dtype=np.int64)[None, :]
         sentinel = np.int64(-(1 << 62))
-        rows = {"qid": [], "nid": [], "sim": []}
-        # chunk queries so the (chunk x n_probe x members) probe mask and
-        # the sim matrix stay bounded regardless of group size
-        for s in range(0, len(queries), 1024):
-            sub = queries.iloc[s : s + 1024]
-            q = np.stack(sub["vec"].to_numpy())
-            qids = sub["rid"].to_numpy()
-            probes = np.stack(sub["probes"].to_numpy())
+        kk = min(k + 1, n_m)
+        q_chunks, n_chunks, s_chunks = [], [], []
+        # chunk queries (every row — member or routed copy — queries
+        # here) so the (chunk x n_probe x members) probe mask and the
+        # sim matrix stay bounded regardless of group size
+        for s in range(0, len(tbl), 1024):
+            q = vecs_all[s : s + 1024]
+            qids = rid_all[s : s + 1024]
+            probes = probes_all[s : s + 1024]
             # select on ROUNDED similarity with id tie-break (like
             # q_knn_all) so the ranking is reproducible across partition
             # layouts and bit-identical to the SQL oracle's row_number
@@ -1309,33 +1323,33 @@ def q_ann_ivf(
             # IVF semantics: only members of this query's probed cells
             allowed = (probes[:, :, None] == mcells[None, None, :]).any(axis=1)
             key = np.where(allowed, r_int * n_m - col, sentinel)
-            kk = min(k + 1, n_m)
             part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
-            for i in range(q.shape[0]):
-                cand = part[i][key[i, part[i]] != sentinel]
-                rows["qid"].extend([int(qids[i])] * cand.size)
-                rows["nid"].extend(mids[cand].tolist())
-                rows["sim"].extend(sims[i, cand].tolist())
-        out = pd.DataFrame(rows).astype(
-            {"qid": "int64", "nid": "int64", "sim": "float64"}
+            rows_ix = np.arange(q.shape[0])[:, None]
+            valid = key[rows_ix, part] != sentinel
+            flat = valid.ravel()
+            q_chunks.append(np.repeat(qids, kk)[flat])
+            n_chunks.append(mids[part.ravel()][flat])
+            s_chunks.append(sims[rows_ix, part][valid])
+        qid = np.concatenate(q_chunks).astype(np.int64)
+        return pa.table(
+            {
+                "qid": pa.array(qid),
+                "nid": pa.array(np.concatenate(n_chunks).astype(np.int64)),
+                "sim": pa.array(np.concatenate(s_chunks).astype(np.float64)),
+                "qpart": pa.array(qid % _NPARTS),
+            }
         )
-        out["qpart"] = (out["qid"] % _NPARTS).astype("int64")
-        return out
 
-    def super_wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        return super_topk(df.drop(columns=["super"]))
-
-    super_wrapper.__name__ = "super_topk"
     partials = routed.groupby("super").map_groups(
-        super_wrapper, batch_format="pandas"
+        super_topk, batch_format="pyarrow"
     )
 
-    def merge_wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        return _merge_topk(df.drop(columns=["qpart"]), k)
+    def merge_wrapper(tbl: pa.Table) -> pa.Table:
+        return _merge_topk(tbl, k)
 
     merge_wrapper.__name__ = "merge_topk"
     return partials.groupby("qpart").map_groups(
-        merge_wrapper, batch_format="pandas"
+        merge_wrapper, batch_format="pyarrow"
     )
 
 
@@ -1375,54 +1389,68 @@ def q_embedding_neardup_ivf(
     pair set on both test corpora while still halving the work."""
     routed = _ivf_route(sf_dir, n_cells, n_probe, sample_cap, n_super)
 
-    def super_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_a": pd.Series(dtype="int64"),
-             "vec_b": pd.Series(dtype="int64"),
-             "part": pd.Series(dtype="int64")}
-        )
-        members = df[df["role"] == 0]
-        if members.empty:
-            return empty
-        m = np.stack(members["vec"].to_numpy())
-        mids = members["rid"].to_numpy()
-        mcells = members["cell"].to_numpy()
+    def _uniq_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(a.size, dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return a[keep], b[keep]
+
+    def super_pairs(tbl: pa.Table) -> pa.Table:
+        role = tbl.column("role").to_numpy()
+        rid_all = tbl.column("rid").to_numpy()
+        mmask = role == 0
+        if not mmask.any():
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        vecs_all = _fsl2d(tbl.column("vec"))
+        probes_all = _fsl2d(tbl.column("probes"))
+        m = vecs_all[mmask]
+        mids = rid_all[mmask]
+        mcells = tbl.column("cell").to_numpy()[mmask]
         rows_a: list[np.ndarray] = []
         rows_b: list[np.ndarray] = []
-        for s in range(0, len(df), 1024):
-            sub = df.iloc[s : s + 1024]
-            q = np.stack(sub["vec"].to_numpy())
-            qids = sub["rid"].to_numpy()
-            probes = np.stack(sub["probes"].to_numpy())
+        for s in range(0, len(tbl), 1024):
+            q = vecs_all[s : s + 1024]
+            qids = rid_all[s : s + 1024]
+            probes = probes_all[s : s + 1024]
             sims = q @ m.T
             allowed = (probes[:, :, None] == mcells[None, None, :]).any(axis=1)
             hit = (sims >= tau) & allowed & (qids[:, None] != mids[None, :])
             qi, mi = np.nonzero(hit)
-            a = np.minimum(qids[qi], mids[mi])
-            b2 = np.maximum(qids[qi], mids[mi])
-            rows_a.append(a)
-            rows_b.append(b2)
-        a = np.concatenate(rows_a)
-        b2 = np.concatenate(rows_b)
-        out = pd.DataFrame({"vec_a": a, "vec_b": b2}).drop_duplicates()
-        out["part"] = (out["vec_a"] % _NPARTS).astype("int64")
-        return out.astype({"vec_a": "int64", "vec_b": "int64", "part": "int64"})
-
-    def pair_wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        return super_pairs(df.drop(columns=["super"]))
-
-    pair_wrapper.__name__ = "super_pairs"
-    pairs = routed.groupby("super").map_groups(pair_wrapper, batch_format="pandas")
-
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        # a pair can surface from both sides' probes / several supercells
-        return (
-            df.drop(columns=["part"])
-            .drop_duplicates(["vec_a", "vec_b"])
-            .astype({"vec_a": "int64", "vec_b": "int64"})
+            rows_a.append(np.minimum(qids[qi], mids[mi]))
+            rows_b.append(np.maximum(qids[qi], mids[mi]))
+        a, b2 = _uniq_pairs(np.concatenate(rows_a), np.concatenate(rows_b))
+        return pa.table(
+            {
+                "vec_a": pa.array(a.astype(np.int64)),
+                "vec_b": pa.array(b2.astype(np.int64)),
+                "part": pa.array((a % _NPARTS).astype(np.int64)),
+            }
         )
 
-    return pairs.groupby("part").map_groups(dedupe, batch_format="pandas")
+    pairs = routed.groupby("super").map_groups(
+        super_pairs, batch_format="pyarrow"
+    )
+
+    def dedupe(tbl: pa.Table) -> pa.Table:
+        # a pair can surface from both sides' probes / several supercells
+        a, b2 = _uniq_pairs(
+            tbl.column("vec_a").to_numpy(), tbl.column("vec_b").to_numpy()
+        )
+        return pa.table(
+            {
+                "vec_a": pa.array(a.astype(np.int64)),
+                "vec_b": pa.array(b2.astype(np.int64)),
+            }
+        )
+
+    return pairs.groupby("part").map_groups(dedupe, batch_format="pyarrow")
 
 
 def q_embedding_neardup(sf_dir: str, tau: float = 0.45):
