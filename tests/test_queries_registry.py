@@ -80,3 +80,31 @@ def test_quantile_interpolation_matches_duckdb():
             f = h - i
             lo, hi = vals[i], vals[min(i + 1, n - 1)]
             assert lo * (1 - f) + hi * f == g
+
+
+def test_event_types_matches_duckdb(ray_session):
+    """event_types lost its driver-oracle slot in the round-5 rotation
+    (heavy_hitters took it; the 50-entry prefix is a hard ceiling), so
+    its DuckDB twin lives here instead — same exactness contract, just
+    checked by pytest rather than the harness."""
+    import duckdb
+
+    from eristropy_ray.pipelines.queries import q_event_types
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_event_types(sf)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY event_type ORDER BY event_type
+        """
+    ).df()
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["n"].astype("int64")) == list(want["n"].astype("int64"))
