@@ -1270,3 +1270,40 @@ def test_minhash_arrow_parity_property(texts):
         minhash_signature_arrow(arr, num_perm=16),
         minhash_signature_batch(texts, num_perm=16),
     )
+
+
+def test_merge_topk_tie_break_self_drop_and_short_groups():
+    """Pure-unit pin of _merge_topk's boundary semantics (shared by
+    q_knn_all and q_ann_ivf): (rounded sim DESC, id ASC) tie-break at
+    the k boundary, self-match dropped even when it ranks first, and
+    groups with fewer than k non-self candidates emit short runs."""
+    from eristropy_ray.pipelines.queries import _merge_topk
+
+    tbl = pa.table(
+        {
+            # interleaved input order: the merge must sort internally
+            "qid": pa.array([7, 2, 7, 4, 7, 2, 7, 4, 2, 7], pa.int64()),
+            "nid": pa.array([7, 5, 3, 4, 9, 2, 1, 8, 6, 2], pa.int64()),
+            "sim": pa.array(
+                [1.0, 0.8, 0.9, 1.0, 0.9, 0.95, 0.9, 0.3, 0.7, 0.5],
+                pa.float64(),
+            ),
+        }
+    )
+    out = _merge_topk(tbl, k=2).to_pandas()
+    got = list(
+        zip(out["vec_id"], out["neighbor_id"], out["sim"], strict=True)
+    )
+    # qid=2: self (2,2,0.95) dropped despite ranking first -> 5, 6
+    # qid=4: only one non-self candidate -> a single row
+    # qid=7: three-way 0.9 tie among nids {3, 9, 1} -> id ASC keeps 1, 3
+    assert got == [
+        (2, 5, 0.8),
+        (2, 6, 0.7),
+        (4, 8, 0.3),
+        (7, 1, 0.9),
+        (7, 3, 0.9),
+    ]
+    assert out["vec_id"].dtype == np.int64
+    assert out["neighbor_id"].dtype == np.int64
+    assert out["sim"].dtype == np.float64
