@@ -1307,3 +1307,41 @@ def test_merge_topk_tie_break_self_drop_and_short_groups():
     assert out["vec_id"].dtype == np.int64
     assert out["neighbor_id"].dtype == np.int64
     assert out["sim"].dtype == np.float64
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(max_codepoint=0x2FFF), max_size=200
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_batch_hash128_matches_scalar_bruteforce(texts):
+    """Property pin of the slabbed prefix-sum digest against the
+    definitional scalar recurrence: per row and seed S,
+    h = fold(h * S + byte) over UTF-8 bytes, then splitmix64(h + len*S).
+    """
+    from eristropy_ray.datapipe import dedup as dd
+
+    arr = pa.array(texts, pa.string())
+    h1, h2 = dd.batch_hash128(arr)
+
+    def scalar(text, seed):
+        mask = (1 << 64) - 1
+        data = text.encode("utf-8")
+        h = 0
+        for b in data:
+            h = (h * int(seed) + b) & mask
+        salted = (h + len(data) * int(seed)) & mask
+        return int(dd._mix64(np.array([salted], np.uint64))[0])
+
+    want1 = np.array(
+        [scalar(t, dd._POLY_P) for t in texts], np.uint64
+    )
+    want2 = np.array(
+        [scalar(t, dd._POLY_Q) for t in texts], np.uint64
+    )
+    np.testing.assert_array_equal(h1, want1)
+    np.testing.assert_array_equal(h2, want2)
