@@ -414,20 +414,23 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_similarity_topk(sf_dir: str, k: int = 10):
-    """Brute-force cosine top-k vs the vec_id=0 embedding (broadcast)."""
+    """Brute-force cosine top-k vs the vec_id=0 embedding (broadcast).
+
+    The broadcast side is the SINGLE query vector (the correct
+    small-side pattern); the row is fetched with a predicate-pushdown
+    read so only the row groups whose vec_id range covers 0 leave
+    storage — no full-corpus driver read."""
     import pyarrow.parquet as pq
     import ray
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qvec = None
-    for batch in tbl.to_batches():
-        ids = batch["vec_id"].to_numpy()
-        hit = np.flatnonzero(ids == 0)
-        if hit.size:
-            qvec = np.asarray(batch["embedding"][hit[0]].as_py(), dtype=np.float64)
-            break
-    if qvec is None:
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    if len(tbl) == 0:
         raise ValueError("similarity_topk: no row with vec_id=0 in embeddings")
+    qvec = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
     qref = ray.put(qvec / max(np.sqrt((qvec * qvec).sum()), 1e-30))
 
     ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -436,9 +439,12 @@ def q_similarity_topk(sf_dir: str, k: int = 10):
         import ray as _ray
 
         q = _ray.get(qref)
-        emb = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
-        )
+        # flat list-buffer reshape (no per-row to_pylist loop); float64
+        # values and row order are identical, so sims stay bit-exact
+        lst = b["embedding"].combine_chunks()
+        flat = np.asarray(lst.flatten(), dtype=np.float64)
+        n = len(b)
+        emb = flat.reshape(n, flat.size // n) if n else flat.reshape(0, 0)
         norms = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-30)
         sims = np.round((emb @ q) / norms, 4)
         ids = b["vec_id"].to_numpy()
