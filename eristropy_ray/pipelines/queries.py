@@ -1471,9 +1471,8 @@ def q_embedding_neardup(sf_dir: str, tau: float = 0.45):
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
-    emb = np.stack(
-        [np.asarray(x, dtype=np.float64) for x in tbl["embedding"].to_pylist()]
-    )
+    flat = np.asarray(tbl["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    emb = flat.reshape(len(ids), flat.size // len(ids)) if len(ids) else flat.reshape(0, 0)
     unit = emb / np.maximum(np.sqrt((emb * emb).sum(axis=1, keepdims=True)), 1e-30)
     ref = ray.put((ids, unit))
 
@@ -1484,16 +1483,14 @@ def q_embedding_neardup(sf_dir: str, tau: float = 0.45):
 
         c_ids, c_unit = _ray.get(ref)
         q_ids = b["vec_id"].to_numpy()
-        q = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in b["embedding"].to_pylist()]
-        )
+        lst = b["embedding"].combine_chunks()
+        qf = np.asarray(lst.flatten(), dtype=np.float64)
+        nq = len(b)
+        q = qf.reshape(nq, qf.size // nq) if nq else qf.reshape(0, 0)
         qu = q / np.maximum(np.sqrt((q * q).sum(axis=1, keepdims=True)), 1e-30)
         sims = qu @ c_unit.T
-        rows_a, rows_b = [], []
-        for i in range(qu.shape[0]):
-            hit = np.flatnonzero((sims[i] >= tau) & (c_ids > q_ids[i]))
-            rows_a.extend([int(q_ids[i])] * hit.size)
-            rows_b.extend(c_ids[hit].tolist())
+        qi, ci = np.nonzero((sims >= tau) & (c_ids[None, :] > q_ids[:, None]))
+        rows_a, rows_b = q_ids[qi].astype(np.int64), c_ids[ci].astype(np.int64)
         return pa.table(
             {
                 "vec_a": pa.array(rows_a, pa.int64()),
