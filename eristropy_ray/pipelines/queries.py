@@ -1189,9 +1189,10 @@ def _ivf_route(
     )
     s_ids = sample_tbl["vec_id"].to_numpy()
     order = np.argsort(s_ids)  # order-independent training input
-    s_vecs = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"].to_pylist()]
-    )[order]
+    s_flat = np.asarray(
+        sample_tbl["embedding"].combine_chunks().flatten(), dtype=np.float64
+    )
+    s_vecs = s_flat.reshape(len(s_ids), s_flat.size // len(s_ids))[order]
     centroids = _kmeans(unit_rows(s_vecs), n_cells, seed=7)
     n_probe = min(n_probe, centroids.shape[0])
     if n_super is None:
