@@ -370,7 +370,9 @@ def scaling() -> None:
             r_hi = _run_level(hi)
             pair_eff.setdefault(f"{lo}_{hi}", []).append(
                 round(
-                    (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / 4.0, 3
+                    (r_hi["turns_per_sec"] / r_lo["turns_per_sec"])
+                    / (hi / lo),  # actual CPU ratio, not a hardcoded 4x
+                    3,
                 )
             )
     t = {n: results[n]["turns_per_sec"] for n in results}
@@ -382,7 +384,7 @@ def scaling() -> None:
     }
     for lo, hi in pairs:
         record[f"scaling_efficiency_{lo}_{hi}"] = round(
-            (t[hi] / t[lo]) / 4.0, 3
+            (t[hi] / t[lo]) / (hi / lo), 3
         )
     any_level = max(t)
     record["sf"] = results[any_level]["sf"]

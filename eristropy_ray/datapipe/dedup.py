@@ -322,9 +322,7 @@ def minhash_signature_arrow(
     Python in the hot LSH ``sign`` stage (VERDICT r4 task 5)."""
     k = shingle_k
     wh, wdoc = word_hashes_arrow(arr)
-    import pyarrow as pa
-
-    n = len(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+    n = len(arr)  # O(1) on ChunkedArray too — no combine_chunks copy
     if n == 0:
         return np.empty((0, num_perm), dtype=np.uint64)
     wcnt = np.bincount(wdoc, minlength=n).astype(np.int64)

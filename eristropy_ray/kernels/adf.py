@@ -170,8 +170,10 @@ def adfuller(
         down from maxlag and keeps the first lag whose highest-order
         Δ-lag coefficient is significant at 5% (|t| > 1.6449, the
         statsmodels convention); None uses ``maxlag`` as the FIXED lag
-        (statsmodels ``autolag=None`` semantics; maxlag defaults to 0
-        then).
+        (statsmodels ``autolag=None`` semantics; when maxlag is also
+        None the Schwert-rule default below is the fixed lag, exactly
+        as statsmodels computes the maxlag default before branching on
+        autolag).
 
     Returns:
         (statistic, pvalue, usedlag)
@@ -196,15 +198,14 @@ def adfuller(
         # the ValueError to the reference's p = 1.0 fallback
         raise ValueError("invalid input, x is constant")
     if maxlag is None:
-        if autolag is None:
-            maxlag = 0
-        else:
-            # statsmodels convention: Schwert's rule on the FULL length n
-            # (maxlag is chosen BEFORE differencing; its "-1 for the diff"
-            # comment refers to the -1 term in the cap n//2 - ntrend - 1,
-            # not to measuring the formula on n-1)
-            maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
-            maxlag = min(n // 2 - ntrend - 1, maxlag)
+        # statsmodels convention: Schwert's rule on the FULL length n
+        # (maxlag is chosen BEFORE differencing; its "-1 for the diff"
+        # comment refers to the -1 term in the cap n//2 - ntrend - 1,
+        # not to measuring the formula on n-1). Computed BEFORE the
+        # autolag branch — with autolag=None this Schwert value IS the
+        # fixed lag, matching statsmodels adfuller(x, autolag=None).
+        maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
+        maxlag = min(n // 2 - ntrend - 1, maxlag)
     if maxlag < 0 or n < 4:
         raise ValueError("sample size is too short to use selected regression component")
     if autolag is None:

@@ -980,6 +980,21 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     return out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
 
 
+def _embedding_dim(path: str) -> int:
+    """Embedding dimensionality via a single-row driver-side read.
+
+    The stored column type is variable ``list<float>``, so an empty
+    Arrow batch cannot self-describe its dimensionality; resolving d
+    once at plan-build time lets batch UDFs emit correctly-typed empty
+    ``fixed_size_list`` columns for zero-row inputs (Ray's shuffle
+    concat requires every block's schema to agree)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column(0)[0])
+
+
 def _fsl2d(col: "pa.ChunkedArray") -> np.ndarray:
     """Zero-copy a FixedSizeList column to a 2-D numpy array
     (rows x list_size), respecting any slice offsets (``flatten()``,
@@ -1043,14 +1058,31 @@ def q_knn_all(sf_dir: str, k: int = 5, n_parts: int = 8):
     fits a worker's heap; per-partition compute is a dense matmul.
     """
     ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # the column type is variable list<float>, so a zero-row batch cannot
+    # self-describe its dimensionality — resolve d once at plan build
+    # (one-row driver read) and close over it
+    dim = _embedding_dim(f"{sf_dir}/embeddings.parquet")
 
     def route(b: pa.Table) -> pa.Table:
         from eristropy_ray.datapipe.similarity import unit_rows
 
         ids = b["vec_id"].to_numpy().astype(np.int64)
+        if not ids.size:
+            empty = np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "part": pa.array(empty, pa.int64()),
+                    "role": pa.array(empty, pa.int64()),
+                    "rid": pa.array(empty, pa.int64()),
+                    "vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.float64()), dim
+                    ),
+                }
+            )
         lst = b["embedding"].combine_chunks()
-        flat = np.asarray(lst.values, dtype=np.float64)
-        d = flat.size // len(ids) if len(ids) else 0
+        # flatten(), not .values: offset-safe on sliced chunks (_fsl2d)
+        flat = np.asarray(lst.flatten(), dtype=np.float64)
+        d = dim
         u = unit_rows(flat.reshape(len(ids), d))
         n = ids.size
         own = ids % n_parts
@@ -1202,10 +1234,27 @@ def _ivf_route(
 
     def assign_and_route(b: pa.Table) -> pa.Table:
         c, csuper = ray.get(cref)
+        d = c.shape[1]  # dimensionality from the broadcast centroids
         ids = b["vec_id"].to_numpy().astype(np.int64)
+        if not ids.size:
+            empty = np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "super": pa.array(empty, pa.int64()),
+                    "cell": pa.array(empty, pa.int64()),
+                    "role": pa.array(empty, pa.int64()),
+                    "rid": pa.array(empty, pa.int64()),
+                    "vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.float64()), d
+                    ),
+                    "probes": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.int64()), n_probe
+                    ),
+                }
+            )
         lst = b["embedding"].combine_chunks()
-        flat = np.asarray(lst.values, dtype=np.float64)
-        d = flat.size // len(ids) if len(ids) else 0
+        # flatten(), not .values: offset-safe on sliced chunks (_fsl2d)
+        flat = np.asarray(lst.flatten(), dtype=np.float64)
         u = unit_rows(flat.reshape(len(ids), d))
         scores = u @ c.T
         # members: one row per vector, in its own cell's supercell. The

@@ -279,8 +279,15 @@ def test_adfuller_fixed_lag_matches_direct_regression():
                 cols.append(np.arange(1.0, nobs + 1.0))
             _, tvals, _ = _sm_ols(xdiff[-nobs:], np.column_stack(cols))
             np.testing.assert_allclose(got_stat, float(tvals[0]), rtol=1e-8)
-    # autolag=None with maxlag unset -> lag 0
-    assert adfuller(x, autolag=None)[2] == 0
+    # autolag=None with maxlag unset: statsmodels computes the Schwert
+    # default maxlag FIRST and uses it as the fixed lag — so must we
+    import math as _math
+
+    n = x.size
+    want = min(n // 2 - 1 - 1, int(_math.ceil(12.0 * (n / 100.0) ** 0.25)))
+    assert adfuller(x, autolag=None)[2] == want
+    # and the statistic equals the explicit maxlag=want fixed-lag run
+    assert adfuller(x, autolag=None)[0] == adfuller(x, autolag=None, maxlag=want)[0]
 
 
 def test_mackinnon_ct_published_critical_values():
