@@ -51,6 +51,16 @@ def cascade_stats(fine: pd.DataFrame, coarse_tier: str) -> pd.DataFrame:
             raise ValueError(
                 f"cascade_stats expects rows of a single fine tier, got {sorted(tiers)}"
             )
+        if len(tiers) == 1 and tiers[0] in TIER_STEPS_US:
+            fine_step = TIER_STEPS_US[str(tiers[0])]
+            if step <= fine_step:
+                # e.g. day rows "cascaded" to 1h: the re-bucketing is a
+                # no-op and the output would be day-level stats silently
+                # mislabeled with the finer tier
+                raise ValueError(
+                    f"coarse_tier {coarse_tier!r} is not coarser than the "
+                    f"input rows' tier {tiers[0]!r}"
+                )
     df = fine.copy()
     b = df["bucket_ts"]
     if np.issubdtype(b.dtype, np.datetime64):
@@ -89,10 +99,58 @@ def apply_retention(
     Files are the checkpoint/resume granularity, so deletion never splits
     a codec stream or a shard. A file survives until its newest COVERED
     timestamp expires: for rollup rows that is max(bucket_ts) + step, and
-    for blocks max(block_start + n_points*step) — a block's start is its
-    OLDEST bucket, so judging by block_start alone would delete files
-    still holding in-retention points."""
+    for blocks max(block_end) + step — ``block_end`` is the block's LAST
+    bucket, exact even for the sparse blocks ``EncodeConfig(gapfill=
+    False)`` produces (a block's start is its OLDEST bucket, and the
+    dense estimate block_start + n_points*step under-covers sparse
+    blocks, which would delete files still holding in-retention points;
+    legacy files written before ``block_end`` existed fall back to the
+    dense estimate, exact for their always-gap-filled layout).
+
+    I/O shape: parquet FOOTER statistics only (row-group max of the
+    timestamp column) — a retention sweep over a 100 TB tier store must
+    not decompress data pages; a file with missing/untrusted stats falls
+    back to reading just the needed column. Unreadable or
+    foreign-schema files are skipped, never deleted."""
     out = Path(out_dir)
+
+    def _stats_max(pf: pq.ParquetFile, col: str) -> int | None:
+        """max over row-group footer stats for ``col``, as int64 µs
+        (None when any row group lacks trustworthy stats). Uses the
+        PHYSICAL value (``max_raw``): timestamp[us] is stored as int64
+        µs, sidestepping the naive-datetime local-time hazard of the
+        logical ``Statistics.max``."""
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            return None
+        rg0 = md.row_group(0)
+        idx = next(
+            (
+                i
+                for i in range(rg0.num_columns)
+                if rg0.column(i).path_in_schema == col
+            ),
+            None,
+        )
+        if idx is None:
+            return None
+        best: int | None = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max_raw
+            if not isinstance(mx, int):
+                return None
+            best = mx if best is None else max(best, mx)
+        return best
+
+    def _col_max(f: Path, col: str) -> int | None:
+        t = pq.read_table(f, columns=[col])
+        if not t.num_rows:
+            return None
+        return int(pa.compute.max(t[col].cast(pa.int64())).as_py())
+
     deleted: dict[str, int] = {}
     for tier, max_age in policy.items():
         cutoff = now_us - max_age
@@ -101,32 +159,34 @@ def apply_retention(
         for sub in subdirs:
             for f in out.glob(f"{sub}/**/tier={tier}/*.parquet"):
                 try:
+                    pf = pq.ParquetFile(f)
+                    if pf.metadata.num_rows == 0:
+                        continue
+                    names = set(pf.schema_arrow.names)
                     if sub == "rollup":
-                        meta = pq.read_table(f, columns=["bucket_ts"])
-                        if not meta.num_rows:
-                            continue
-                        newest = (
-                            int(
-                                pa.compute.max(
-                                    meta["bucket_ts"].cast(pa.int64())
-                                ).as_py()
-                            )
-                            + step
-                        )
+                        mx = _stats_max(pf, "bucket_ts")
+                        if mx is None:
+                            mx = _col_max(f, "bucket_ts")
+                        newest = mx + step if mx is not None else None
+                    elif "block_end" in names:
+                        mx = _stats_max(pf, "block_end")
+                        if mx is None:
+                            mx = _col_max(f, "block_end")
+                        newest = mx + step if mx is not None else None
                     else:
+                        # legacy blocks (pre-block_end): dense estimate,
+                        # exact for gap-filled data
                         meta = pq.read_table(
                             f, columns=["block_start", "n_points"]
                         )
                         if not meta.num_rows:
                             continue
                         starts = meta["block_start"].cast(pa.int64()).to_numpy()
-                        npts = (
-                            meta["n_points"].cast(pa.int64()).to_numpy()
-                        )
+                        npts = meta["n_points"].cast(pa.int64()).to_numpy()
                         newest = int((starts + npts * step).max())
-                except (OSError, KeyError):
+                except (OSError, KeyError, pa.ArrowInvalid):
                     continue
-                if newest < cutoff:
+                if newest is not None and newest < cutoff:
                     f.unlink()
                     count += 1
         deleted[tier] = count
@@ -150,8 +210,12 @@ def update_windows_incremental(
 
     Returns the updated rollup frame: untouched rows unchanged, touched
     (conv, tier, bucket) rows recomputed from the merged turns, windows
-    that newly appear added. Deterministic: the merged turn multiset
-    fully determines every recomputed row.
+    that newly appear added. Only tiers in ``cfg.tiers`` are recomputed;
+    rows of OTHER tiers pass through unchanged even in touched days (the
+    caller recomputes them with a second call or ``cascade_stats`` —
+    deleting them here would silently drop data the recompute does not
+    replace). Deterministic: the merged turn multiset fully determines
+    every recomputed row.
     """
 
     def _ts_us(df: pd.DataFrame) -> np.ndarray:
@@ -159,6 +223,12 @@ def update_windows_incremental(
         if np.issubdtype(ts.dtype, np.datetime64):
             return ts.to_numpy().astype("datetime64[us]").astype(np.int64)
         return ts.to_numpy(dtype=np.int64)
+
+    if not len(new_turns):
+        # empty late batch: nothing touched, return the frame unchanged
+        # (an empty boolean list would otherwise be read as column
+        # labels by pandas, not an empty row selector)
+        return rollup_rows
 
     touched_convs = set(new_turns["conv_id"])
     stored = stored_turns[stored_turns["conv_id"].isin(touched_convs)]
@@ -169,28 +239,35 @@ def update_windows_incremental(
     # recompute the day-groups containing new turns (windows of every tier
     # <= 1d nest inside them) PLUS the stored days of replayed keys — a
     # corrected turn whose timestamp moved across a day boundary must
-    # vacate its old day too
+    # vacate its old day too. Membership tests are vectorized
+    # (MultiIndex.isin), not per-row Python — the stored-turn slice can
+    # be large.
     day = TIER_STEPS_US["1d"]
-    scope_days = set(
-        zip(new_turns["conv_id"], (_ts_us(new_turns) // day) * day)
+    scope_idx = pd.MultiIndex.from_arrays(
+        [new_turns["conv_id"], (_ts_us(new_turns) // day) * day]
     )
-    new_keys = set(zip(new_turns["conv_id"], new_turns["turn_idx"]))
+    new_keys_idx = pd.MultiIndex.from_arrays(
+        [new_turns["conv_id"], new_turns["turn_idx"]]
+    )
     replaced = stored[
-        [
-            (c, t) in new_keys
-            for c, t in zip(stored["conv_id"], stored["turn_idx"])
-        ]
+        pd.MultiIndex.from_arrays(
+            [stored["conv_id"], stored["turn_idx"]]
+        ).isin(new_keys_idx)
     ]
     if len(replaced):
-        scope_days |= set(
-            zip(replaced["conv_id"], (_ts_us(replaced) // day) * day)
+        scope_idx = scope_idx.append(
+            pd.MultiIndex.from_arrays(
+                [replaced["conv_id"], (_ts_us(replaced) // day) * day]
+            )
         )
-    m_ts = _ts_us(merged)
-    m_day = (m_ts // day) * day
-    in_scope = [
-        (c, d) in scope_days for c, d in zip(merged["conv_id"], m_day)
-    ]
-    scope = merged[np.asarray(in_scope)]
+    scope_idx = scope_idx.unique()
+    m_day = (_ts_us(merged) // day) * day
+    in_scope = pd.MultiIndex.from_arrays([merged["conv_id"], m_day]).isin(
+        scope_idx
+    )
+    # np.asarray(..., dtype=bool): an all-empty mask must stay a boolean
+    # row selector, not be read as (float) column labels
+    scope = merged[np.asarray(in_scope, dtype=bool)]
 
     cols = rollup_windows(
         scope["conv_id"].to_numpy(dtype=object),
@@ -215,15 +292,17 @@ def update_windows_incremental(
     # drop EVERY existing row whose (conv, day) is in the recompute scope,
     # not just keys present in `recomputed`: a bucket emptied by a moved
     # turn has no recomputed row, and keeping its stale row would count
-    # the turn in both its old and new buckets
+    # the turn in both its old and new buckets. Restricted to cfg.tiers —
+    # recomputation only covers those, so deleting other tiers' rows in
+    # the touched days would silently drop them from the returned frame.
     ex_us = existing["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     ex_day = (ex_us // day) * day
-    stale = np.array(
-        [
-            (c, d) in scope_days
-            for c, d in zip(existing["conv_id"], ex_day)
-        ],
+    stale = np.asarray(
+        pd.MultiIndex.from_arrays([existing["conv_id"], ex_day]).isin(
+            scope_idx
+        ),
         dtype=bool,
     )
+    stale &= existing["tier"].isin(cfg.tiers).to_numpy()
     out = pd.concat([existing[~stale], recomputed], ignore_index=True)
     return out.sort_values(key, kind="stable").reset_index(drop=True)

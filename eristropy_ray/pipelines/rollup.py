@@ -204,8 +204,6 @@ def encode_blocks_colocated(
 ) -> rd.Dataset:
     """Block-local encode for conversation-complete rollup blocks (the
     output shape of ``rollup_files_colocated``). No shuffle."""
-    from eristropy_ray.stages.encode import make_partition_encode_fn
-
     fn = make_partition_encode_fn(enc_cfg)
     return rollup.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
@@ -228,7 +226,6 @@ def fused_rollup_encode_colocated(
     """
     import pyarrow as pa
 
-    from eristropy_ray.stages.encode import make_partition_encode_fn
     from eristropy_ray.stages.rollup import _rollup_table
 
     encode_fn = make_partition_encode_fn(enc_cfg)
@@ -304,8 +301,12 @@ def run_rollup_job(
 ) -> dict:
     """Checkpointed, resumable rollup over a list of transcript files.
 
-    Shards = contiguous input-file groups (conversations never span files).
-    Completed shards (manifest + output present) are skipped on resume.
+    Shards = strided round-robin input-file groups, ``files[idx::n_shards]``
+    (any grouping is valid — conversations never span files — and striding
+    balances size-skewed inputs; do NOT build range/locality logic on a
+    contiguity assumption). Completed shards (manifest + output present)
+    are skipped on resume; in the two-stage layout a shard whose rollup
+    stage completed resumes from its checkpoint and reruns only encode.
     Emits per-(stage, shard) lineage metrics. Returns a summary dict.
 
     ``layout="conv_files"`` uses the fused single-pass colocated path
@@ -328,10 +329,19 @@ def run_rollup_job(
             continue
         # a shard not marked complete may have partial output from a
         # crashed attempt; Ray's write_parquet APPENDS uuid-named files,
-        # so rerunning without clearing would duplicate every row
+        # so rerunning without clearing would duplicate every row. In the
+        # two-stage layout a COMPLETED rollup stage survives a crash
+        # during encode: resume re-reads its checkpoint instead of
+        # re-scanning and re-shuffling the turn table.
         import shutil as _shutil
 
-        for stale in ("rollup", "blocks"):
+        rollup_done = (
+            resume
+            and layout != "conv_files"
+            and manifest.is_complete(shard_id, "rollup")
+        )
+        stale_stages = ("blocks",) if rollup_done else ("rollup", "blocks")
+        for stale in stale_stages:
             _shutil.rmtree(out / stale / f"shard={shard_id}", ignore_errors=True)
         if layout == "conv_files":
             t0 = time.time()
@@ -355,23 +365,32 @@ def run_rollup_job(
             summary["blocks"] += n_blocks
             continue
         t0 = time.time()
-        turns = rd.read_parquet(files, columns=TRANSCRIPT_READ_COLUMNS)
         rows_path = str(out / "rollup" / f"shard={shard_id}")
-        rollup = rollup_dataset(turns, cfg, mode=mode)
-        rollup.write_parquet(rows_path, partition_cols=["tier"])
-        # re-read = checkpoint barrier; drop the hive "shard=" path column
         from eristropy_ray.stages.windows import ROLLUP_COLUMNS
 
-        rollup_written = rd.read_parquet(rows_path).select_columns(
-            list(ROLLUP_COLUMNS)
-        )
-        n_rows = _footer_rows(rows_path)
-        t1 = time.time()
-        metrics.emit(
-            stage="rollup", shard=shard_id, rows_out=n_rows,
-            input_files=len(files), wall_s=round(t1 - t0, 3),
-        )
-        manifest.mark_complete(shard_id, "rollup", rows_path, n_rows, t1 - t0)
+        if rollup_done:
+            # resume from the completed rollup checkpoint (stage-level
+            # resume: only encode reruns)
+            rollup_written = rd.read_parquet(rows_path).select_columns(
+                list(ROLLUP_COLUMNS)
+            )
+            n_rows = _footer_rows(rows_path)
+            t1 = time.time()
+        else:
+            turns = rd.read_parquet(files, columns=TRANSCRIPT_READ_COLUMNS)
+            rollup = rollup_dataset(turns, cfg, mode=mode)
+            rollup.write_parquet(rows_path, partition_cols=["tier"])
+            # re-read = checkpoint barrier; drop the hive "shard=" path column
+            rollup_written = rd.read_parquet(rows_path).select_columns(
+                list(ROLLUP_COLUMNS)
+            )
+            n_rows = _footer_rows(rows_path)
+            t1 = time.time()
+            metrics.emit(
+                stage="rollup", shard=shard_id, rows_out=n_rows,
+                input_files=len(files), wall_s=round(t1 - t0, 3),
+            )
+            manifest.mark_complete(shard_id, "rollup", rows_path, n_rows, t1 - t0)
 
         blocks_path = str(out / "blocks" / f"shard={shard_id}")
         blocks = encode_dataset(rollup_written, cfg, enc_cfg)

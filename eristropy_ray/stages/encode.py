@@ -21,7 +21,10 @@ span a shard/checkpoint boundary, so resume cannot split a codec stream
 (SURVEY.md §7.4 "Gorilla at bucket boundaries").
 
 Output schema:
-    conv_id, tier, block_start (timestamp[us]), n_points, gap_filled_points,
+    conv_id, tier, block_start (timestamp[us]), block_end (timestamp[us],
+    the block's LAST bucket — with gapfill=False blocks are sparse, so
+    retention must not infer coverage as block_start + n_points*step),
+    n_points, gap_filled_points,
     ts_enc (binary), <col>_enc (binary per encoded column),
     raw_bytes, enc_bytes
 """
@@ -63,7 +66,8 @@ def make_partition_encode_fn(cfg: EncodeConfig):
         )
 
         out: dict[str, list] = {
-            "conv_id": [], "tier": [], "block_start": [], "n_points": [],
+            "conv_id": [], "tier": [], "block_start": [], "block_end": [],
+            "n_points": [],
             "gap_filled_points": [], "ts_enc": [], "raw_bytes": [], "enc_bytes": [],
         }
         for col in columns:
@@ -110,6 +114,7 @@ def make_partition_encode_fn(cfg: EncodeConfig):
                 out["conv_id"].append(conv_uniq[cc[gs]])
                 out["tier"].append(tier_uniq[tc[gs]])
                 out["block_start"].append(int(buckets[s]))
+                out["block_end"].append(int(buckets[e - 1]))
                 out["n_points"].append(e - s)
                 out["gap_filled_points"].append(
                     0 if observed is None else int((~observed[s:e]).sum())
@@ -128,6 +133,10 @@ def make_partition_encode_fn(cfg: EncodeConfig):
                 "tier": pa.array(out["tier"], pa.string()),
                 "block_start": pa.array(
                     np.array(out["block_start"], dtype=np.int64),
+                    pa.timestamp("us"),
+                ),
+                "block_end": pa.array(
+                    np.array(out["block_end"], dtype=np.int64),
                     pa.timestamp("us"),
                 ),
                 "n_points": pa.array(out["n_points"], pa.int32()),

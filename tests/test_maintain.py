@@ -224,3 +224,166 @@ def test_cascade_rejects_mixed_tiers(rng):
     rollup = _rollup_df(_turns(rng, n_convs=1, n=50), cfg)
     with pytest.raises(ValueError, match="single fine tier"):
         cascade_stats(rollup, "1d")  # all three tiers present
+
+
+def test_cascade_rejects_not_coarser(rng):
+    cfg = RollupConfig()
+    rollup = _rollup_df(_turns(rng, n_convs=1, n=50), cfg)
+    day_rows = rollup[rollup["tier"] == "1d"]
+    with pytest.raises(ValueError, match="not coarser"):
+        cascade_stats(day_rows, "1h")  # day -> hour is not a cascade
+    with pytest.raises(ValueError, match="not coarser"):
+        cascade_stats(day_rows, "1d")  # identity is not a cascade either
+
+
+def test_incremental_update_empty_batch_is_noop(rng):
+    cfg = RollupConfig()
+    df = _turns(rng, n_convs=2, n=60)
+    rollup = _rollup_df(df, cfg)
+    empty = df.iloc[0:0]
+    out = update_windows_incremental(rollup, df, empty, cfg)
+    pd.testing.assert_frame_equal(out, rollup, check_exact=True)
+
+
+def test_incremental_update_preserves_other_tiers(rng):
+    """cfg.tiers=('1m',) recomputes ONLY minute rows; the 1h/1d rows of
+    touched days must pass through unchanged, not be silently deleted."""
+    full_cfg = RollupConfig()
+    df = _turns(rng, n_convs=1, n=80)
+    rollup = _rollup_df(df, full_cfg)
+    late_mask = df["turn_idx"] >= 70
+    initial, late = df[~late_mask], df[late_mask]
+    rollup_initial = _rollup_df(initial, full_cfg)
+
+    cfg_1m = RollupConfig(tiers=("1m",))
+    updated = update_windows_incremental(rollup_initial, initial, late, cfg_1m)
+    # 1m rows equal the full recompute's 1m rows
+    key = ["conv_id", "tier", "bucket_ts"]
+    got_1m = (
+        updated[updated["tier"] == "1m"]
+        .sort_values(key, kind="stable")
+        .reset_index(drop=True)
+    )
+    want_1m = (
+        rollup[rollup["tier"] == "1m"]
+        .sort_values(key, kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_1m[want_1m.columns], want_1m, check_exact=True)
+    # 1h/1d rows are the INITIAL ones, untouched (stale by contract: the
+    # caller cascades or re-calls for those tiers)
+    for tier in ("1h", "1d"):
+        got = (
+            updated[updated["tier"] == tier]
+            .sort_values(key, kind="stable")
+            .reset_index(drop=True)
+        )
+        want = (
+            rollup_initial[rollup_initial["tier"] == tier]
+            .sort_values(key, kind="stable")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
+
+
+def test_retention_sparse_blocks_block_end(tmp_path):
+    """With gapfill=False blocks are SPARSE: coverage must come from
+    block_end, not block_start + n_points*step (which under-covers and
+    would delete files still holding in-retention points)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "blocks" / "shard=0" / "tier=1d"
+    d.mkdir(parents=True)
+    day = 86_400_000_000
+    now = 100 * day
+    # sparse block: 2 points, starts 30d ago, LAST bucket 5d ago.
+    # The dense estimate (start + 2*day) says "expired 28d ago" — wrong.
+    pq.write_table(
+        pa.table(
+            {
+                "block_start": pa.array([now - 30 * day], pa.timestamp("us")),
+                "block_end": pa.array([now - 5 * day], pa.timestamp("us")),
+                "n_points": pa.array([2], pa.int32()),
+            }
+        ),
+        d / "sparse.parquet",
+    )
+    # sparse block fully expired: last bucket 20d ago
+    pq.write_table(
+        pa.table(
+            {
+                "block_start": pa.array([now - 30 * day], pa.timestamp("us")),
+                "block_end": pa.array([now - 20 * day], pa.timestamp("us")),
+                "n_points": pa.array([2], pa.int32()),
+            }
+        ),
+        d / "expired.parquet",
+    )
+    deleted = apply_retention(tmp_path, now, {"1d": 7 * day}, subdirs=("blocks",))
+    assert deleted == {"1d": 1}
+    assert (d / "sparse.parquet").exists()
+    assert not (d / "expired.parquet").exists()
+
+
+def test_retention_skips_corrupt_file(tmp_path):
+    """One unreadable file must be skipped, not abort the sweep."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "blocks" / "shard=0" / "tier=1d"
+    d.mkdir(parents=True)
+    day = 86_400_000_000
+    now = 100 * day
+    (d / "corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    pq.write_table(
+        pa.table(
+            {
+                "block_start": pa.array([now - 30 * day], pa.timestamp("us")),
+                "block_end": pa.array([now - 20 * day], pa.timestamp("us")),
+                "n_points": pa.array([2], pa.int32()),
+            }
+        ),
+        d / "expired.parquet",
+    )
+    deleted = apply_retention(tmp_path, now, {"1d": 7 * day}, subdirs=("blocks",))
+    assert deleted == {"1d": 1}
+    assert (d / "corrupt.parquet").exists()  # skipped, never deleted
+
+
+def test_resume_reuses_completed_rollup_stage(ray_session, tmp_path):
+    """Crash between rollup and encode: resume must NOT rerun the turn
+    scan + shuffle — it re-reads the completed rollup checkpoint and
+    reruns only encode."""
+    import json
+
+    from eristropy_ray.pipelines.rollup import run_rollup_job
+    from eristropy_ray.sources.transcripts import synthesize_transcripts
+
+    d = synthesize_transcripts(
+        tmp_path / "tx", n_convs=6, mean_turns=15, n_files=2, hot_factor=2
+    )
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    out = tmp_path / "out"
+    run_rollup_job(files, str(out), n_shards=1, layout="unpartitioned")
+
+    # simulate the crash: encode output gone, encode manifest entry gone
+    import shutil
+
+    shutil.rmtree(out / "blocks" / "shard=s0000")
+    mpath = out / "MANIFEST.json"
+    state = json.loads(mpath.read_text())
+    del state["shards"]["s0000"]["stages"]["encode"]
+    mpath.write_text(json.dumps(state))
+
+    rollup_files = sorted((out / "rollup").glob("**/*.parquet"))
+    mtimes = {f: f.stat().st_mtime_ns for f in rollup_files}
+
+    summary = run_rollup_job(files, str(out), n_shards=1, layout="unpartitioned")
+    assert summary["shards_skipped"] == 0
+    # rollup checkpoint untouched byte-for-byte (same files, same mtimes)
+    after = sorted((out / "rollup").glob("**/*.parquet"))
+    assert after == rollup_files
+    assert {f: f.stat().st_mtime_ns for f in after} == mtimes
+    # encode regenerated
+    assert list((out / "blocks").glob("**/*.parquet"))
