@@ -896,15 +896,20 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     tag_ref = _ray_mod.put((cand_ids, offsets, occ_pid, occ_side))
     pairs_ref = _ray_mod.put((a_ids, b_ids))
 
-    def tag_candidates(df: pd.DataFrame) -> pa.Table:
-        # Arrow output (even though the input format is pandas): Ray's
-        # pandas block-size estimator cannot size ANY zero-row object
-        # column (np.vectorize otypes error) — arrow blocks have exact
-        # size accounting, so the frequent no-candidate batches are free.
+    def tag_candidates(batch: pa.Table) -> pa.Table:
+        # Arrow in AND out: the corpus text column never converts to
+        # pandas object dtype (the scan's dominant cost), and zero-row
+        # no-candidate batches have exact Arrow size accounting (the
+        # pandas estimator cannot size an empty object column).
         cids, offs, o_pid, o_side = _ray_mod.get(tag_ref)
-        ids = df["doc_id"].to_numpy()
-        sub = df[np.isin(ids, cids)]
-        if sub.empty:
+        ids = batch.column("doc_id").to_numpy()
+        if cids.size == 0 or ids.size == 0:
+            rows = np.empty(0, dtype=np.int64)
+        else:
+            pos = np.searchsorted(cids, ids)
+            hit = (pos < cids.size) & (cids[np.minimum(pos, cids.size - 1)] == ids)
+            rows = np.flatnonzero(hit)
+        if rows.size == 0:
             empty = np.empty(0, dtype=np.int64)
             return pa.table(
                 {
@@ -914,7 +919,7 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
                     "part": pa.array(empty, pa.int64()),
                 }
             )
-        idx = np.searchsorted(cids, sub["doc_id"].to_numpy())
+        idx = np.searchsorted(cids, ids[rows])
         counts = offs[idx + 1] - offs[idx]
         # flat occurrence indices for each candidate row's slice
         flat = (
@@ -922,18 +927,18 @@ def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
             + np.arange(int(counts.sum()), dtype=np.int64)
             - np.repeat(np.cumsum(counts) - counts, counts)
         )
+        # one Arrow take with repeated row indices == np.repeat(texts)
+        text = batch.column("text").take(pa.array(np.repeat(rows, counts)))
         return pa.table(
             {
                 "pid": pa.array(o_pid[flat], pa.int64()),
                 "side": pa.array(o_side[flat], pa.int64()),
-                "text": pa.array(
-                    np.repeat(sub["text"].to_numpy(dtype=object), counts)
-                ),
+                "text": text,
                 "part": pa.array(o_pid[flat] % _NPARTS, pa.int64()),
             }
         )
 
-    tagged = docs.map_batches(tag_candidates, batch_format="pandas")
+    tagged = docs.map_batches(tag_candidates, batch_format="pyarrow")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         p_a, p_b = _ray_mod.get(pairs_ref)
@@ -2655,27 +2660,51 @@ def q_orders_by_segment(sf_dir: str):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    # broadcast the dim as SORTED flat numpy (keys + dictionary-encoded
+    # segment codes): searchsorted lookup inside the partial instead of a
+    # Python dict probe per row, and the object-store payload is three
+    # dense arrays instead of a pickled dict of Python strings.
+    keys = cust["c_custkey"].to_numpy()
+    seg_names, seg_codes = np.unique(
+        cust["c_mktsegment"].to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    korder = np.argsort(keys, kind="stable")
     lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+        (keys[korder], seg_codes[korder].astype(np.int64),
+         [str(s) for s in seg_names])
     )
 
     orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        seg_of = _ray.get(lookup_ref)
-        seg = df["o_custkey"].map(seg_of)
-        price_mu = np.round(df["o_totalprice"].to_numpy() * 1e6).astype(np.int64)
-        out = pd.DataFrame({"c_mktsegment": seg, "price_mu": price_mu})
-        g = out.groupby("c_mktsegment", sort=False).agg(
-            n_orders=("price_mu", "size"), sum_mu=("price_mu", "sum")
+        skeys, scodes, names = _ray.get(lookup_ref)
+        ck = batch.column("o_custkey").to_numpy()
+        code = scodes[np.searchsorted(skeys, ck)]  # FK: every key present
+        price_mu = np.round(
+            batch.column("o_totalprice").to_numpy() * 1e6
+        ).astype(np.int64)
+        # exact int64 group sums (bincount's float64 weights would lose
+        # ulps past 2^53 — sum-of-micros can exceed that in one batch):
+        # sort + reduceat keeps the accumulator integral.
+        g = np.argsort(code, kind="stable")
+        gc, starts = np.unique(code[g], return_index=True)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([names[c] for c in gc], pa.string()),
+                "n_orders": pa.array(
+                    np.diff(np.append(starts, code.size)), pa.int64()
+                ),
+                "sum_mu": pa.array(
+                    np.add.reduceat(price_mu[g], starts), pa.int64()
+                ),
+            }
         )
-        return g.reset_index()
 
-    partials = orders.map_batches(partial, batch_format="pandas")
+    partials = orders.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("sum_mu", alias_name="sum_mu"),
