@@ -426,8 +426,48 @@ def simhash64(text: str) -> int:
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash64_arrow(arr) -> np.ndarray:
+    """uint64 SimHash for EVERY row of an Arrow string array —
+    element-identical to per-row ``simhash64`` (asserted in tests).
+
+    Word hashes come from the slab-vectorized ``word_hashes_arrow``;
+    the per-document majority vote is 64 bincount passes over the
+    word->doc map (weights are 0/1 so the float64 accumulation is
+    exact below 2^53 words — far past any real document)."""
+    wh, wdoc = word_hashes_arrow(arr)
+    n = len(arr)
+    sig = np.zeros(n, dtype=np.uint64)
+    if wh.size == 0 or n == 0:
+        return sig
+    wcnt = np.bincount(wdoc, minlength=n).astype(np.int64)
+    for b in range(64):
+        bit = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(wdoc, weights=bit, minlength=n)
+        votes = 2 * ones.astype(np.int64) - wcnt
+        sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+    return sig
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+_POP16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+)
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance (16-bit LUT popcount;
+    numpy<2.0 has no bitwise_count)."""
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[(x >> np.uint64(48)).astype(np.int64)]
+    )
 
 
 def simhash_chunk_keys(sig: int, n_chunks: int = 4) -> list[tuple[int, int]]:

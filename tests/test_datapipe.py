@@ -79,6 +79,70 @@ def test_simhash_near_and_far():
     assert simhash64("") == 0
 
 
+def test_simhash_arrow_matches_scalar():
+    """simhash64_arrow is element-identical to the per-text kernel,
+    including empty / whitespace-only / unicode / repeated-word rows."""
+    import pyarrow as pa
+
+    from eristropy_ray.datapipe.dedup import simhash64_arrow
+
+    texts = [
+        DOC_A, DOC_B, DOC_C, "", "   \t \n ", "one", "one one one two",
+        "naïve café über straße", "a " * 500 + "b",
+        "word" + "x" * 3000 + " tail words here",
+    ]
+    got = simhash64_arrow(pa.array(texts, pa.string()))
+    want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+    # chunked arrays too (Ray blocks arrive chunked)
+    chunked = pa.chunked_array([texts[:3], texts[3:]], pa.string())
+    np.testing.assert_array_equal(simhash64_arrow(chunked), want)
+    assert simhash64_arrow(pa.array([], pa.string())).size == 0
+
+
+def test_hamming64_batch_matches_scalar(rng):
+    from eristropy_ray.datapipe.dedup import hamming64_batch
+
+    a = rng.integers(0, 2**63, size=200).astype(np.uint64)
+    b = rng.integers(0, 2**63, size=200).astype(np.uint64)
+    got = hamming64_batch(a, b)
+    want = np.array([hamming64(int(x), int(y)) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(got, want)
+    assert hamming64_batch(a, a).sum() == 0
+
+
+def test_simhash_neardup_query_matches_bruteforce(ray_session):
+    """The distributed chunk-bucketed plan returns EXACTLY the all-pairs
+    Hamming<=3 set (pigeonhole: 4 chunks, <=3 differing bits -> at least
+    one identical chunk, so recall is structural, not probabilistic)."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.datapipe.dedup import hamming64_batch, simhash64_arrow
+    from eristropy_ray.pipelines.queries import q_simhash_neardup
+
+    sf = "/root/testdata/sf0.001"
+    got = q_simhash_neardup(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    sigs = simhash64_arrow(docs["text"])[order]
+    ai, bi = np.triu_indices(ids.size, k=1)
+    ham = hamming64_batch(sigs[ai], sigs[bi])
+    ok = ham <= 3
+    want = {
+        (int(a), int(b), int(h))
+        for a, b, h in zip(ids[ai][ok], ids[bi][ok], ham[ok])
+    }
+    have = {
+        (int(r.doc_a), int(r.doc_b), int(r.hamming))
+        for r in got.itertuples()
+    }
+    assert have == want
+    # deterministic output order
+    assert got["doc_a"].is_monotonic_increasing or len(got) <= 1
+
+
 def test_embedding_neardup(rng):
     base = rng.normal(size=(20, 16))
     emb = np.vstack([base, base[3] + rng.normal(scale=1e-3, size=16)])
