@@ -110,3 +110,60 @@ def content_hash64(text: str) -> int:
     ppow[1:] = _RK_BASE
     np.cumprod(ppow, out=ppow)
     return int((b * ppow[::-1]).sum(dtype=np.uint64))
+
+
+def _token_byte_spans(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) byte spans of ``\\S+`` tokens in a UTF-8 buffer —
+    the same full-Unicode whitespace set every other text op uses
+    (dedup._whitespace_mask), so token counts agree with token_counts
+    and the minhash/simhash word boundaries."""
+    from eristropy_ray.datapipe.dedup import _whitespace_mask
+
+    if arr.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    nonws = ~_whitespace_mask(arr)
+    d = np.diff(nonws.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if nonws[0]:
+        starts = np.concatenate(([0], starts))
+    if nonws[-1]:
+        ends = np.concatenate((ends, [arr.size]))
+    return starts.astype(np.int64), ends.astype(np.int64)
+
+
+def chunk_token_windows(
+    text: str, max_tokens: int = 128, stride: int = 96
+) -> list[tuple[str, int, int]]:
+    """Fixed-token-window document chunking (the pre-tokenization split
+    every training pipeline runs before packing sequences).
+
+    Deterministic windows over whitespace tokens: chunk i covers tokens
+    ``[i*stride, i*stride + max_tokens)`` (the last one clipped), so
+    consecutive chunks overlap by ``max_tokens - stride`` tokens and the
+    union covers every token exactly. Chunk text is the original byte
+    span from its first token's start to its last token's end — spans
+    are codepoint-aligned (the whitespace mask is), so slicing can never
+    split a UTF-8 sequence. Returns ``[(chunk_text, first_token,
+    n_tokens)]``; empty / whitespace-only documents yield no chunks.
+    """
+    if not 0 < stride <= max_tokens:
+        raise ValueError("need 0 < stride <= max_tokens")
+    b = text.encode("utf-8")
+    arr = np.frombuffer(b, dtype=np.uint8)
+    starts, ends = _token_byte_spans(arr)
+    nt = starts.size
+    if nt == 0:
+        return []
+    n_chunks = (
+        1 if nt <= max_tokens else 1 + int(np.ceil((nt - max_tokens) / stride))
+    )
+    out = []
+    for i in range(n_chunks):
+        t0 = i * stride
+        t1 = min(t0 + max_tokens, nt)
+        out.append(
+            (b[starts[t0] : ends[t1 - 1]].decode("utf-8"), t0, t1 - t0)
+        )
+    return out

@@ -869,6 +869,45 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200):
     )
 
 
+def q_doc_chunks(sf_dir: str, max_tokens: int = 128, stride: int = 96):
+    """Token-window document chunking (rows-only): explode each document
+    into fixed-token-count overlapping windows — the pre-tokenization
+    split a training pipeline runs before sequence packing. One output
+    row per (doc, chunk); a pure streaming flat-map (no shuffle, no
+    state), so at 100 TB it rides the same wave-parallel scan as every
+    other text op. Windows are deterministic (chunk i = tokens
+    [i*stride, i*stride+max_tokens)), overlap = max_tokens - stride,
+    and the union of windows covers every token exactly (pinned by
+    property tests in tests/test_datapipe.py)."""
+    from eristropy_ray.datapipe.textstats import chunk_token_windows
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        doc_col, chunk_col, first_col, ntok_col, text_col = [], [], [], [], []
+        for did, t in zip(ids, b.column("text").to_pylist()):
+            for ci, (chunk, first, ntok) in enumerate(
+                chunk_token_windows(t, max_tokens, stride)
+            ):
+                doc_col.append(int(did))
+                chunk_col.append(ci)
+                first_col.append(first)
+                ntok_col.append(ntok)
+                text_col.append(chunk)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_col, pa.int64()),
+                "chunk_id": pa.array(chunk_col, pa.int64()),
+                "first_token": pa.array(first_col, pa.int64()),
+                "n_tokens": pa.array(ntok_col, pa.int64()),
+                "chunk_text": pa.array(text_col, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified (>= 0.5).
 
@@ -3378,6 +3417,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
+    "doc_chunks": q_doc_chunks,
     # event_types rotated out of the oracle prefix in round 5 (its
     # trivial-groupby shape is already hash-covered by doc_counts_by_lang)
     # to free the slot for heavy_hitters' full distributed sketch plan

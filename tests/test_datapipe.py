@@ -143,6 +143,134 @@ def test_simhash_neardup_query_matches_bruteforce(ray_session):
     assert got["doc_a"].is_monotonic_increasing or len(got) <= 1
 
 
+def test_chunk_token_windows_properties():
+    """Coverage, overlap, clipping, unicode-boundary and degenerate-doc
+    behavior of the token-window chunker."""
+    from eristropy_ray.datapipe.textstats import chunk_token_windows
+
+    text = " ".join(f"w{i}" for i in range(25))
+    chunks = chunk_token_windows(text, max_tokens=8, stride=6)
+    # window i covers tokens [6i, 6i+8): starts 0,6,12,18 -> 4 chunks
+    assert [(f, n) for _, f, n in chunks] == [(0, 8), (6, 8), (12, 8), (18, 7)]
+    toks = text.split()
+    for chunk, first, n in chunks:
+        assert chunk.split() == toks[first : first + n]
+    # union covers every token exactly
+    covered = sorted({t for _, f, n in chunks for t in range(f, f + n)})
+    assert covered == list(range(25))
+    # short doc -> one clipped chunk; degenerate docs -> none
+    assert chunk_token_windows("a b c", 8, 6) == [("a b c", 0, 3)]
+    assert chunk_token_windows("", 8, 6) == []
+    assert chunk_token_windows("  \t \n ", 8, 6) == []
+    # NBSP is a token boundary (same \s set as every other text op) and
+    # multi-byte codepoints are never split
+    got = chunk_token_windows("café naïve über", 2, 1)
+    assert [c for c, _, _ in got] == ["café naïve", "naïve über"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_token_windows("x", max_tokens=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_token_windows("x", max_tokens=4, stride=0)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=8,
+        ),
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(deadline=None, max_examples=60)
+def test_chunk_token_windows_bruteforce(words, max_tokens, stride):
+    """Property pin vs a definitional reference: tokens come from the
+    shared whitespace mask; window i = tokens[i*stride : i*stride+max],
+    text spans reassemble to exactly those tokens."""
+    from eristropy_ray.datapipe.dedup import _whitespace_mask
+    from eristropy_ray.datapipe.textstats import chunk_token_windows
+
+    if stride > max_tokens:
+        stride = max_tokens
+    text = " ".join(words)
+
+    b = text.encode("utf-8")
+    arr = np.frombuffer(b, dtype=np.uint8)
+    mask = (
+        ~_whitespace_mask(arr) if arr.size else np.zeros(0, dtype=bool)
+    )
+    # reference token spans via the same mask, scalar run-length walk
+    ref_tokens = []
+    i = 0
+    while i < arr.size:
+        if mask[i]:
+            j = i
+            while j < arr.size and mask[j]:
+                j += 1
+            ref_tokens.append(b[i:j].decode("utf-8"))
+            i = j
+        else:
+            i += 1
+    got = chunk_token_windows(text, max_tokens, stride)
+    if not ref_tokens:
+        assert got == []
+        return
+    exp_starts = list(range(0, max(len(ref_tokens) - max_tokens, 0) + 1, stride))
+    if exp_starts[-1] + max_tokens < len(ref_tokens):
+        exp_starts.append(exp_starts[-1] + stride)
+    assert [f for _, f, _ in got] == exp_starts
+    for chunk, first, n in got:
+        assert n == min(max_tokens, len(ref_tokens) - first)
+        # the chunk's own tokens (same mask) are the expected slice
+        cb = chunk.encode("utf-8")
+        ca = np.frombuffer(cb, dtype=np.uint8)
+        cm = ~_whitespace_mask(ca)
+        toks, i = [], 0
+        while i < ca.size:
+            if cm[i]:
+                j = i
+                while j < ca.size and cm[j]:
+                    j += 1
+                toks.append(cb[i:j].decode("utf-8"))
+                i = j
+            else:
+                i += 1
+        assert toks == ref_tokens[first : first + n]
+
+
+def test_doc_chunks_query(ray_session):
+    """Distributed explode == per-doc kernel on the whole sf0.001 corpus."""
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.datapipe.textstats import chunk_token_windows
+    from eristropy_ray.pipelines.queries import q_doc_chunks
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_doc_chunks(sf, max_tokens=32, stride=24)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    want = []
+    for did, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for ci, (chunk, first, n) in enumerate(chunk_token_windows(t, 32, 24)):
+            want.append((did, ci, first, n, chunk))
+    assert len(got) == len(want)
+    assert got["n_tokens"].max() <= 32
+    for col, idx in zip(
+        ["doc_id", "chunk_id", "first_token", "n_tokens", "chunk_text"],
+        range(5),
+    ):
+        assert got[col].tolist() == [w[idx] for w in want]
+
+
 def test_embedding_neardup(rng):
     base = rng.normal(size=(20, 16))
     emb = np.vstack([base, base[3] + rng.normal(scale=1e-3, size=16)])
