@@ -167,3 +167,137 @@ def chunk_token_windows(
             (b[starts[t0] : ends[t1 - 1]].decode("utf-8"), t0, t1 - t0)
         )
     return out
+
+
+def chunk_token_windows_arrow(arr, max_tokens: int = 128, stride: int = 96):
+    """Batch-vectorized ``chunk_token_windows`` straight off an Arrow
+    string column's flat UTF-8 buffer — element-identical per row to the
+    scalar kernel (asserted in tests).
+
+    One whitespace-mask pass over the whole batch (a virtual ASCII space
+    between rows keeps a token from spanning two documents, exactly as
+    ``dedup.word_hashes_arrow`` does), token->row assignment by
+    searchsorted, window math in closed-form numpy, and the output
+    string column assembled with a single vectorized ranges-to-indices
+    gather — no per-row or per-chunk Python loop. Temporaries are a few
+    bytes per input byte (uint8 flat + bool mask), so a standard Ray
+    block (~128 MB) stays comfortably inside a worker heap.
+
+    Returns ``(doc_idx, chunk_id, first_token, n_tokens, chunk_text)``
+    where ``doc_idx`` indexes rows of ``arr`` and ``chunk_text`` is a
+    ``pa.StringArray`` (large_string when the gathered text exceeds
+    int32 offsets).
+    """
+    import pyarrow as pa
+
+    from eristropy_ray.datapipe.dedup import _arrow_flat_utf8, _whitespace_mask
+
+    if not 0 < stride <= max_tokens:
+        raise ValueError("need 0 < stride <= max_tokens")
+    z = np.zeros(0, dtype=np.int64)
+    data, offsets, n = _arrow_flat_utf8(arr)
+    if n == 0:
+        return z, z, z, z, pa.array([], pa.string())
+    m = int(offsets[-1])
+    lens = np.diff(offsets)
+    # flat buffer with one separator space after every row
+    flat = np.full(m + n, 32, dtype=np.uint8)
+    rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat[np.arange(m, dtype=np.int64) + rep] = data
+    text_start = offsets[:-1] + np.arange(n, dtype=np.int64)
+
+    nonws = ~_whitespace_mask(flat)
+    d = np.diff(nonws.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if nonws[0]:
+        starts = np.concatenate(([0], starts))
+    # flat always ends with a separator space -> no trailing run
+    if starts.size == 0:
+        return z, z, z, z, pa.array([], pa.string())
+
+    tok_row = np.searchsorted(text_start, starts, side="right") - 1
+    nt = np.bincount(tok_row, minlength=n).astype(np.int64)
+    tok_base = np.concatenate(([0], np.cumsum(nt)[:-1]))
+    n_chunks = np.where(
+        nt == 0,
+        0,
+        1 + np.maximum(np.ceil((nt - max_tokens) / stride), 0).astype(np.int64),
+    )
+    total = int(n_chunks.sum())
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    chunk_base = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_id = np.arange(total, dtype=np.int64) - chunk_base[doc_idx]
+    first = chunk_id * stride
+    ntok = np.minimum(max_tokens, nt[doc_idx] - first)
+    s_b = starts[tok_base[doc_idx] + first]
+    e_b = ends[tok_base[doc_idx] + first + ntok - 1]
+
+    # vectorized ranges->indices gather of the chunk byte spans
+    lens_c = e_b - s_b
+    out_total = int(lens_c.sum())
+    if out_total:
+        step = np.ones(out_total, dtype=np.int64)
+        step[0] = s_b[0]
+        cum = np.cumsum(lens_c)[:-1]
+        step[cum] = s_b[1:] - e_b[:-1] + 1
+        values = flat[np.cumsum(step)]
+    else:  # pragma: no cover - ntok >= 1 implies non-empty spans
+        values = np.empty(0, dtype=np.uint8)
+    out_off = np.concatenate(([0], np.cumsum(lens_c)))
+    if out_total <= np.iinfo(np.int32).max:
+        text_arr = pa.StringArray.from_buffers(
+            total,
+            pa.py_buffer(out_off.astype(np.int32).tobytes()),
+            pa.py_buffer(values.tobytes()),
+        )
+    else:  # pragma: no cover - >2 GiB of chunk text in one batch
+        text_arr = pa.Array.from_buffers(
+            pa.large_string(),
+            total,
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(values.tobytes())],
+        )
+    return doc_idx, chunk_id, first, ntok, text_arr
+
+
+def greedy_pack_tokens(
+    ntok: np.ndarray, capacity: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy in-order sequence packing (the post-chunking step that
+    fills fixed-capacity training sequences): walk documents in the
+    given order, appending each to the current sequence unless it would
+    exceed ``capacity``, in which case a new sequence starts. A document
+    longer than ``capacity`` gets its own (overflowing) sequence rather
+    than being dropped or split.
+
+    Returns ``(seq_id, seq_offset)`` — per-doc sequence index (0-based,
+    dense in walk order) and the doc's token offset inside its sequence.
+    The scan loop runs once per OUTPUT sequence (a searchsorted hop over
+    the token cumsum), not once per document, so cost is
+    O(total_tokens / capacity · log n) — at 100 TB the per-partition
+    loop count is bounded by the partition's token budget.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    ntok = np.asarray(ntok, dtype=np.int64)
+    n = ntok.size
+    seq = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return seq, seq.copy()
+    if (ntok < 0).any():
+        raise ValueError("token counts must be non-negative")
+    cum = np.cumsum(ntok, dtype=np.int64)
+    bin_first = []
+    i, s, base = 0, 0, np.int64(0)
+    while i < n:
+        j = int(np.searchsorted(cum, base + capacity, side="right"))
+        j = max(j, i + 1)  # an oversize doc still gets its own sequence
+        seq[i:j] = s
+        bin_first.append(i)
+        base = cum[j - 1]
+        s += 1
+        i = j
+    cum_excl = cum - ntok
+    first = np.asarray(bin_first, dtype=np.int64)
+    off = cum_excl - cum_excl[first][seq]
+    return seq, off

@@ -878,34 +878,92 @@ def q_doc_chunks(sf_dir: str, max_tokens: int = 128, stride: int = 96):
     other text op. Windows are deterministic (chunk i = tokens
     [i*stride, i*stride+max_tokens)), overlap = max_tokens - stride,
     and the union of windows covers every token exactly (pinned by
-    property tests in tests/test_datapipe.py)."""
-    from eristropy_ray.datapipe.textstats import chunk_token_windows
+    property tests in tests/test_datapipe.py). The explode is fully
+    batch-vectorized off the Arrow flat buffer (one whitespace-mask pass
+    per batch, ranges-to-indices gather for the chunk text — no per-row
+    Python loop; element-identical to the scalar kernel)."""
+    from eristropy_ray.datapipe.textstats import chunk_token_windows_arrow
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(b: pa.Table) -> pa.Table:
+        doc_idx, chunk_id, first, ntok, text_arr = chunk_token_windows_arrow(
+            b.column("text"), max_tokens, stride
+        )
         ids = b.column("doc_id").to_numpy()
-        doc_col, chunk_col, first_col, ntok_col, text_col = [], [], [], [], []
-        for did, t in zip(ids, b.column("text").to_pylist()):
-            for ci, (chunk, first, ntok) in enumerate(
-                chunk_token_windows(t, max_tokens, stride)
-            ):
-                doc_col.append(int(did))
-                chunk_col.append(ci)
-                first_col.append(first)
-                ntok_col.append(ntok)
-                text_col.append(chunk)
         return pa.table(
             {
-                "doc_id": pa.array(doc_col, pa.int64()),
-                "chunk_id": pa.array(chunk_col, pa.int64()),
-                "first_token": pa.array(first_col, pa.int64()),
-                "n_tokens": pa.array(ntok_col, pa.int64()),
-                "chunk_text": pa.array(text_col, pa.string()),
+                "doc_id": pa.array(ids[doc_idx], pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "first_token": pa.array(first, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "chunk_text": text_arr,
             }
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_seq_pack(sf_dir: str, capacity: int = 256, n_parts: int = 32):
+    """Sequence packing (rows-only): assign every document to a
+    fixed-token-capacity training sequence — the step after chunking
+    that fills model context windows before tokenization.
+
+    Plan: one Arrow map_batches computes per-doc token counts (same
+    C-speed regex count as ``token_counts``) and a multiplicative-hash
+    partition key; one hash shuffle colocates each partition; inside a
+    partition docs are walked in doc_id order and packed greedily
+    (``greedy_pack_tokens`` — the scan loop runs per OUTPUT sequence,
+    not per doc). Sequences never span partitions, so the shuffle is the
+    only exchange and partitions pack independently — at 100 TB each
+    partition's loop count is its token budget / capacity. A doc longer
+    than ``capacity`` gets its own overflowing sequence (callers chunk
+    first via ``doc_chunks`` if they need hard caps). Output one row per
+    doc: (part, seq_id, seq_offset, doc_id, n_tokens); (part, seq_id)
+    is the globally unique sequence key. Deterministic for a fixed
+    ``n_parts``."""
+    from eristropy_ray.datapipe.textstats import greedy_pack_tokens
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        part = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            n_parts
+        )
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=_WS_TOKEN_PAT),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pack_partition(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        ntok = df["n_tokens"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ntok = ids[order], ntok[order]
+        seq, off = greedy_pack_tokens(ntok, capacity)
+        return pd.DataFrame(
+            {
+                "part": df["part"].to_numpy(dtype=np.int64)[order],
+                "seq_id": seq,
+                "seq_offset": off,
+                "doc_id": ids,
+                "n_tokens": ntok,
+            }
+        )
+
+    pack_partition.__name__ = "seq_pack_partition"
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack_partition, batch_format="pandas")
+    )
 
 
 def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
@@ -3418,6 +3476,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "doc_chunks": q_doc_chunks,
+    "seq_pack": q_seq_pack,
     # event_types rotated out of the oracle prefix in round 5 (its
     # trivial-groupby shape is already hash-covered by doc_counts_by_lang)
     # to free the slot for heavy_hitters' full distributed sketch plan

@@ -31,6 +31,18 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield ray
+    # Quiesce Ray Data executor threads before shutdown: the streaming
+    # executor finalizes asynchronously after the consuming call
+    # returns, and a finalizer thread touching the core worker after
+    # ray.shutdown() hard-exits the process with code 1 ("The core
+    # worker has already been shutdown"), eating pytest's summary. GC
+    # drops the last Dataset's executor; the short sleep lets its
+    # threads finish their final core-worker calls.
+    import gc
+    import time
+
+    gc.collect()
+    time.sleep(1.0)
     ray.shutdown()
 
 

@@ -243,6 +243,76 @@ def test_chunk_token_windows_bruteforce(words, max_tokens, stride):
         assert toks == ref_tokens[first : first + n]
 
 
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(deadline=None, max_examples=60)
+def test_chunk_token_windows_arrow_matches_scalar(texts, max_tokens, stride):
+    """The batch-vectorized Arrow chunker is element-identical to the
+    scalar kernel on every row (windows, token indices and chunk text)."""
+    import pyarrow as pa
+
+    from eristropy_ray.datapipe.textstats import (
+        chunk_token_windows,
+        chunk_token_windows_arrow,
+    )
+
+    if stride > max_tokens:
+        stride = max_tokens
+    doc_idx, chunk_id, first, ntok, text_arr = chunk_token_windows_arrow(
+        pa.array(texts, pa.string()), max_tokens, stride
+    )
+    got = list(zip(doc_idx, chunk_id, first, ntok, text_arr.to_pylist()))
+    want = [
+        (i, ci, f, n, c)
+        for i, t in enumerate(texts)
+        for ci, (c, f, n) in enumerate(
+            chunk_token_windows(t, max_tokens, stride)
+        )
+    ]
+    assert got == want
+
+
+def test_chunk_token_windows_arrow_long_docs():
+    """Multi-chunk docs, interleaved empties, and a chunked column."""
+    import pyarrow as pa
+
+    from eristropy_ray.datapipe.textstats import (
+        chunk_token_windows,
+        chunk_token_windows_arrow,
+    )
+
+    docs = [
+        " ".join(f"tok{i}" for i in range(500)),
+        "",
+        "   ",
+        " ".join(f"w{i}" for i in range(97)),
+        "solo",
+    ]
+    col = pa.chunked_array([docs[:2], docs[2:]], pa.string())
+    doc_idx, chunk_id, first, ntok, text_arr = chunk_token_windows_arrow(
+        col, max_tokens=128, stride=96
+    )
+    got = list(zip(doc_idx, chunk_id, first, ntok, text_arr.to_pylist()))
+    want = [
+        (i, ci, f, n, c)
+        for i, t in enumerate(docs)
+        for ci, (c, f, n) in enumerate(chunk_token_windows(t, 128, 96))
+    ]
+    assert got == want
+    assert max(chunk_id) >= 4  # doc 0 really did explode into 5 windows
+
+
 def test_doc_chunks_query(ray_session):
     """Distributed explode == per-doc kernel on the whole sf0.001 corpus."""
     import pyarrow.parquet as pq
@@ -269,6 +339,98 @@ def test_doc_chunks_query(ray_session):
         range(5),
     ):
         assert got[col].tolist() == [w[idx] for w in want]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), max_size=60),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(deadline=None, max_examples=80)
+def test_greedy_pack_tokens_bruteforce(ntoks, capacity):
+    """Pin vs the definitional scalar recurrence: append unless the
+    sequence would exceed capacity; oversize docs get their own seq."""
+    from eristropy_ray.datapipe.textstats import greedy_pack_tokens
+
+    seq, off = greedy_pack_tokens(np.array(ntoks, dtype=np.int64), capacity)
+    ref_seq, ref_off = [], []
+    cur, filled = -1, 0
+    for t in ntoks:
+        if cur < 0 or filled + t > capacity:
+            cur += 1
+            filled = 0
+        ref_seq.append(cur)
+        ref_off.append(filled)
+        filled += t
+    assert seq.tolist() == [max(s, 0) for s in ref_seq]
+    assert off.tolist() == ref_off
+    # invariants: seq ids dense & non-decreasing; totals <= capacity
+    # unless the sequence is a single oversize doc
+    if ntoks:
+        assert seq[0] == 0 and (np.diff(seq) >= 0).all()
+        assert (np.diff(seq) <= 1).all()
+        tot = np.bincount(seq, weights=np.array(ntoks, dtype=np.float64))
+        members = np.bincount(seq)
+        over = np.flatnonzero(tot > capacity)
+        assert all(members[s] == 1 for s in over)
+
+
+def test_greedy_pack_tokens_validation():
+    from eristropy_ray.datapipe.textstats import greedy_pack_tokens
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        greedy_pack_tokens(np.array([1, 2]), 0)
+    with _pytest.raises(ValueError):
+        greedy_pack_tokens(np.array([1, -2]), 4)
+    s, o = greedy_pack_tokens(np.array([], dtype=np.int64), 4)
+    assert s.size == 0 and o.size == 0
+
+
+def test_seq_pack_query(ray_session):
+    """Distributed pack == local per-partition kernel on sf0.001, and
+    the packing invariants hold on real data."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from eristropy_ray.datapipe.textstats import greedy_pack_tokens
+    from eristropy_ray.pipelines.queries import _WS_TOKEN_PAT, q_seq_pack
+
+    sf = "/root/testdata/sf0.001"
+    capacity, n_parts = 256, 8
+    got = (
+        q_seq_pack(sf, capacity=capacity, n_parts=n_parts)
+        .to_pandas()
+        .sort_values(["part", "seq_id", "seq_offset", "doc_id"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    ntok = (
+        pc.count_substring_regex(docs["text"], pattern=_WS_TOKEN_PAT)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    part = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_parts)
+    want = []
+    for p in range(n_parts):
+        sel = np.flatnonzero(part == p)
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        seq, off = greedy_pack_tokens(ntok[sel], capacity)
+        want += [
+            (p, int(s), int(o), int(d), int(t))
+            for s, o, d, t in zip(seq, off, ids[sel], ntok[sel])
+        ]
+    want.sort()
+    assert len(got) == len(ids)  # every doc packed exactly once
+    for col, idx in zip(
+        ["part", "seq_id", "seq_offset", "doc_id", "n_tokens"], range(5)
+    ):
+        assert got[col].tolist() == [w[idx] for w in want]
+    # no sequence exceeds capacity unless it is a single oversize doc
+    g = got.groupby(["part", "seq_id"])["n_tokens"]
+    tot, cnt = g.sum(), g.count()
+    assert ((tot <= capacity) | (cnt == 1)).all()
 
 
 def test_embedding_neardup(rng):

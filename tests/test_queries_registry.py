@@ -46,12 +46,12 @@ def test_read_strips_pandas_metadata(ray_session):
 
 
 def test_registry_counts():
-    # 50 hash-exact + 18 rows-only; update deliberately when adding ops.
+    # 50 hash-exact + 19 rows-only; update deliberately when adding ops.
     # 50 is a HARD ceiling for the oracle-backed prefix: the correctness
     # driver checks only the first 50 registry entries, so a 51st
     # oracle-backed query would go formally unverified.
     assert sum(k in ORACLE_SQL for k in QUERIES) == 50
-    assert len(QUERIES) == 68
+    assert len(QUERIES) == 69
 
 
 def test_quantile_interpolation_matches_duckdb():
