@@ -161,13 +161,18 @@ def q_doc_len_quantiles(
     lo*(1-f) + hi*f at h=(n-1)*q, fuzz-pinned in tests)."""
     ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lens = df["text"].str.len().to_numpy(dtype=np.int64)
+    def partial(b: pa.Table) -> pa.Table:
+        # utf8_length == pandas str.len == DuckDB LENGTH (codepoints)
+        lens = pc.cast(pc.utf8_length(b["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         u, c = np.unique(lens, return_counts=True)
-        return pd.DataFrame({"len": u, "cnt": c.astype("int64")})
+        return pa.table(
+            {"len": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())}
+        )
 
     hist = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("len")
         .sum("cnt")
         .to_pandas()
@@ -2099,24 +2104,37 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].str.findall(_WS_TOKEN_PAT).explode().dropna()
-        vc = words.value_counts()
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow-native tokenize + count (same kernels as vocab_topk's
+        # partial: whitespace-class split == _WS_TOKEN_PAT findall)
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(b["text"], pattern="[ \\t\\n\\f\\r]+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
         items, counts = mg_summary(
-            vc.index.to_numpy(dtype=object), vc.to_numpy(), k_summary
+            vc.field("values").to_numpy(zero_copy_only=False).astype(object),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+            k_summary,
         )
         # deterministic fan-in key from the batch's MIN doc_id — unique
         # per batch even on dup-heavy corpora (keying on leading TEXT
         # would collapse the fan-in to one merge group when many batches
         # start with identical boilerplate)
         part = (
-            int(content_hash64(str(int(df["doc_id"].min())))) % _NPARTS
-            if len(df)
+            int(content_hash64(str(int(pc.min(b["doc_id"]).as_py()))))
+            % _NPARTS
+            if b.num_rows
             else 0
         )
-        return pd.DataFrame(
-            {"word": items.astype(str), "est": counts,
-             "part": np.full(items.size, part, dtype=np.int64)}
+        return pa.table(
+            {
+                "word": pa.array(items.astype(str), pa.string()),
+                "est": pa.array(counts, pa.int64()),
+                "part": pa.array(
+                    np.full(items.size, part, dtype=np.int64), pa.int64()
+                ),
+            }
         )
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -2135,7 +2153,7 @@ def q_heavy_hitters(sf_dir: str, k_summary: int = 256, topn: int = 20):
     # the final merge — bounded regardless of corpus size (any MG merge
     # tree preserves the n/k undercount bound)
     candidates = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             lambda df: merge_group(df.drop(columns=["part"])),
@@ -2638,11 +2656,13 @@ def q_distinct_users(sf_dir: str):
     on a string key twice."""
     ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df.drop_duplicates(["event_type", "user_id"]).copy()
-        uid = sub["user_id"].to_numpy().astype(np.int64)
-        sub["part"] = _hash_part(uid)
-        return sub[["event_type", "user_id", "part"]]
+    def partial(b: pa.Table) -> pa.Table:
+        # per-batch pair dedup as a C-speed Arrow hash-distinct
+        sub = b.group_by(["event_type", "user_id"]).aggregate([])
+        uid = sub["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return sub.append_column(
+            "part", pa.array(_hash_part(uid), pa.int64())
+        )
 
     def count_partition(df: pd.DataFrame) -> pd.DataFrame:
         u = df.drop_duplicates(["event_type", "user_id"])
@@ -2655,7 +2675,7 @@ def q_distinct_users(sf_dir: str):
 
     wrapper.__name__ = "count_partition"
     partials = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("part")
         .map_groups(wrapper, batch_format="pandas")
     )
@@ -2673,14 +2693,27 @@ def q_distinct_users_approx(sf_dir: str, p: int = 12):
 
     ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"event_type": [], "regs": []}
-        for et, g in df.groupby("event_type", sort=True):
-            rows["event_type"].append(et)
-            rows["regs"].append(
-                hll_partial(g["user_id"].to_numpy(np.int64), p).tobytes()
-            )
-        return pd.DataFrame(rows)
+    def partial(b: pa.Table) -> pa.Table:
+        # one lexsort, then hll_partial over contiguous type segments
+        # (cardinality of event_type is tiny; no per-row pandas groupby)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(et, kind="stable")
+        et, uid = et[order], uid[order]
+        starts = np.flatnonzero(np.concatenate(([True], et[1:] != et[:-1])))
+        bounds = np.append(starts, et.size)
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], pa.string()),
+                "regs": pa.array(
+                    [
+                        hll_partial(uid[bounds[i] : bounds[i + 1]], p).tobytes()
+                        for i in range(starts.size)
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         regs = hll_merge([np.frombuffer(b, dtype=np.uint8) for b in df["regs"]])
@@ -2692,7 +2725,7 @@ def q_distinct_users_approx(sf_dir: str, p: int = 12):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
         .map_groups(merge, batch_format="pandas")
     )
@@ -2717,14 +2750,34 @@ def q_value_quantiles_hdr(sf_dir: str, m: int = 7):
     ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     qs = np.array([0.25, 0.5, 0.75, 0.99])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, g in df.groupby("event_type", sort=True):
-            b, c = hdr_partial(g["value"].to_numpy(np.float64), m)
-            rows.append(
-                pd.DataFrame({"event_type": et, "bucket": b, "n": c})
-            )
-        return pd.concat(rows, ignore_index=True)
+    def partial(b: pa.Table) -> pa.Table:
+        # one lexsort, hdr_partial per contiguous type segment
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(et, kind="stable")
+        et, val = et[order], val[order]
+        starts = np.flatnonzero(np.concatenate(([True], et[1:] != et[:-1])))
+        bounds = np.append(starts, et.size)
+        bs, ns, types = [], [], []
+        for i in range(starts.size):
+            bk, c = hdr_partial(val[bounds[i] : bounds[i + 1]], m)
+            bs.append(bk)
+            ns.append(c)
+            types.append(np.full(bk.size, et[starts[i]], dtype=object))
+        cat = np.concatenate if starts.size else lambda x: np.array([])
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    cat(types).astype(str) if starts.size else [], pa.string()
+                ),
+                "bucket": pa.array(
+                    cat(bs).astype(np.int64) if starts.size else [], pa.int64()
+                ),
+                "n": pa.array(
+                    cat(ns).astype(np.int64) if starts.size else [], pa.int64()
+                ),
+            }
+        )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         est = hdr_quantiles(
@@ -2741,7 +2794,7 @@ def q_value_quantiles_hdr(sf_dir: str, m: int = 7):
     return (
         # batch_size=None: fold whole blocks — the summary is bucket-
         # bounded, so bigger batches mean strictly fewer partial rows.
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("event_type")
         .map_groups(finish, batch_format="pandas")
     )
@@ -3110,35 +3163,44 @@ def q_pricing_summary(sf_dir: str):
         ],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        qty_mu = np.round(df["l_quantity"].to_numpy() * 1e6).astype(np.int64)
-        price_mu = np.round(df["l_extendedprice"].to_numpy() * 1e6).astype(np.int64)
-        disc = df["l_discount"].to_numpy()
-        price = df["l_extendedprice"].to_numpy()
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty_mu = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        price_mu = np.round(price * 1e6).astype(np.int64)
         # disc_price rounded to micro per row BEFORE summing, so the
         # DuckDB DECIMAL(24,6) cast of the identical double matches
         disc_price_mu = np.round(price * (1.0 - disc) * 1e6).astype(np.int64)
-        g = (
-            pd.DataFrame(
-                {
-                    "l_returnflag": df["l_returnflag"],
-                    "l_linestatus": df["l_linestatus"],
-                    "qty_mu": qty_mu,
-                    "price_mu": price_mu,
-                    "disc_price_mu": disc_price_mu,
-                }
-            )
-            .groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                n_rows=("qty_mu", "size"),
-                qty_mu=("qty_mu", "sum"),
-                price_mu=("price_mu", "sum"),
-                disc_price_mu=("disc_price_mu", "sum"),
-            )
+        g = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_mu": pa.array(qty_mu, pa.int64()),
+                "price_mu": pa.array(price_mu, pa.int64()),
+                "disc_price_mu": pa.array(disc_price_mu, pa.int64()),
+            }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty_mu", "count"),
+                ("qty_mu", "sum"),
+                ("price_mu", "sum"),
+                ("disc_price_mu", "sum"),
+            ]
         )
-        return g.reset_index()
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "n_rows": pc.cast(g["qty_mu_count"], pa.int64()),
+                "qty_mu": g["qty_mu_sum"],
+                "price_mu": g["price_mu_sum"],
+                "disc_price_mu": g["disc_price_mu_sum"],
+            }
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("qty_mu", alias_name="qty_mu"),
