@@ -971,6 +971,62 @@ def q_seq_pack(sf_dir: str, capacity: int = 256, n_parts: int = 32):
     )
 
 
+#: default per-language sampling rates for q_weighted_mix — module-level
+#: so the SQL twin (_weighted_mix_sql) is generated from the SAME dict.
+WEIGHTED_MIX_RATES = {"en": 0.6, "unknown": 0.3}
+WEIGHTED_MIX_DEFAULT_RATE = 0.5
+WEIGHTED_MIX_M = 1000
+
+
+def q_weighted_mix(sf_dir: str):
+    """Weighted corpus mixing (rows-only registry; exact DuckDB pin in
+    pytest via a twin generated from the same rate dict): rebalance a
+    multi-source corpus by sampling each predicted language at its own
+    rate — the source-mixing step before training. Deterministic
+    systematic sample (the ``sample_events`` idiom): doc kept iff
+    ``doc_id % M < round(rate(lang) * M)``, so re-weighting is a pure
+    filter change — no shuffle, no state, reproducible across runs and
+    cluster sizes. Output (doc_id, lang_pred)."""
+    from eristropy_ray.datapipe.textstats import langid_predict
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    m = WEIGHTED_MIX_M
+    thresholds = {
+        lang: int(round(r * m)) for lang, r in WEIGHTED_MIX_RATES.items()
+    }
+    default_thr = int(round(WEIGHTED_MIX_DEFAULT_RATE * m))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        lang = np.array([langid_predict(t) for t in df["text"]], dtype=object)
+        thr = np.array(
+            [thresholds.get(x, default_thr) for x in lang], dtype=np.int64
+        )
+        keep = (ids % m) < thr
+        return pd.DataFrame(
+            {"doc_id": ids[keep], "lang_pred": lang[keep].astype(str)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _weighted_mix_sql() -> str:
+    """SQL twin of q_weighted_mix (pytest pin, not a driver oracle —
+    the 50-slot prefix is full). Generated from WEIGHTED_MIX_RATES so
+    the rates cannot drift between engines."""
+    m = WEIGHTED_MIX_M
+    cases = " ".join(
+        f"WHEN lang_pred = '{lang}' THEN {int(round(r * m))}"
+        for lang, r in sorted(WEIGHTED_MIX_RATES.items())
+    )
+    thr = f"CASE {cases} ELSE {int(round(WEIGHTED_MIX_DEFAULT_RATE * m))} END"
+    return f"""
+WITH lang AS ({_langid_sql()})
+SELECT doc_id, lang_pred FROM lang
+WHERE doc_id % {m} < {thr}
+"""
+
+
 def q_minhash_neardup(sf_dir: str, bucket_cap: int = 50):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified (>= 0.5).
 
@@ -3539,6 +3595,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "doc_chunks": q_doc_chunks,
     "seq_pack": q_seq_pack,
+    "weighted_mix": q_weighted_mix,
     # event_types rotated out of the oracle prefix in round 5 (its
     # trivial-groupby shape is already hash-covered by doc_counts_by_lang)
     # to free the slot for heavy_hitters' full distributed sketch plan

@@ -46,12 +46,12 @@ def test_read_strips_pandas_metadata(ray_session):
 
 
 def test_registry_counts():
-    # 50 hash-exact + 19 rows-only; update deliberately when adding ops.
+    # 50 hash-exact + 20 rows-only; update deliberately when adding ops.
     # 50 is a HARD ceiling for the oracle-backed prefix: the correctness
     # driver checks only the first 50 registry entries, so a 51st
     # oracle-backed query would go formally unverified.
     assert sum(k in ORACLE_SQL for k in QUERIES) == 50
-    assert len(QUERIES) == 69
+    assert len(QUERIES) == 70
 
 
 def test_quantile_interpolation_matches_duckdb():
@@ -108,3 +108,47 @@ def test_event_types_matches_duckdb(ray_session):
     ).df()
     assert list(got["event_type"]) == list(want["event_type"])
     assert list(got["n"].astype("int64")) == list(want["n"].astype("int64"))
+
+
+def test_weighted_mix_matches_duckdb(ray_session):
+    """weighted_mix is rows-only in the registry (50-slot prefix is
+    full), so its exactness contract lives here: the DuckDB twin is
+    GENERATED from the same rate dict + the langid SQL twin, checked on
+    both test scales. Also pins that both configured rates actually
+    fire (the kept set differs from any single-rate sample)."""
+    import duckdb
+
+    from eristropy_ray.pipelines.queries import (
+        WEIGHTED_MIX_M,
+        WEIGHTED_MIX_RATES,
+        _weighted_mix_sql,
+        q_weighted_mix,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = (
+            q_weighted_mix(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(_weighted_mix_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].astype("int64").tolist()
+        assert got["lang_pred"].tolist() == want["lang_pred"].tolist()
+        # both rates fire: per-lang keep fraction tracks its own rate
+        kept = got.groupby("lang_pred").size()
+        for lang, rate in WEIGHTED_MIX_RATES.items():
+            if lang in kept.index:
+                thr = int(round(rate * WEIGHTED_MIX_M))
+                assert (got.loc[got.lang_pred == lang, "doc_id"]
+                        % WEIGHTED_MIX_M < thr).all()
