@@ -51,6 +51,75 @@ def langid_predict(text: str, min_score: float = 0.02) -> str:
     return lang if scores[lang] >= min_score else "unknown"
 
 
+_LANGS_SORTED = sorted(_STOPWORDS) + ["zh"]  # == sorted(scores) keys
+_WORD_SPLIT = re.compile(r"([^\W\d_]+)", re.UNICODE)  # _WORD, capturing
+_SW_SORTED = {
+    lang: np.sort(np.array(sorted(sw), dtype=str))
+    for lang, sw in _STOPWORDS.items()
+}
+
+
+def langid_predict_arrow(col, min_score: float = 0.02) -> np.ndarray:
+    """Batch-vectorized ``langid_predict`` over an Arrow string column —
+    element-identical to the scalar (property-pinned in tests).
+
+    One ``_WORD.split`` over a NUL-joined slab (NUL is a non-word char,
+    so a word can never span two documents) replaces the per-row
+    ``findall``; word→row attribution is a searchsorted over codepoint
+    offsets; stopword membership is one ``np.isin`` per language against
+    the sorted stopword array; CJK/char counts come from Arrow regex/
+    length kernels. The only Python-level per-element work left is the
+    word lowercasing list-comp (C-speed ``str.lower``), which scalar
+    semantics require (lowering AFTER extraction — slab-level lower
+    could shift word boundaries, e.g. U+0130 -> 'i' + combining dot).
+    Returns an object ndarray of predicted labels.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    # codepoint lengths + CJK counts via C kernels (match len(text) and
+    # the scalar's ord-range count exactly)
+    lens = pc.cast(pc.utf8_length(col), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    cjk = pc.cast(
+        pc.count_substring_regex(col, pattern="[\\x{4E00}-\\x{9FFF}]"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+
+    texts = col.to_pylist()
+    row_starts = np.zeros(n, dtype=np.int64)
+    row_starts[1:] = np.cumsum(lens[:-1] + 1)
+    # split with a capturing group: [sep0, word0, sep1, word1, ...] —
+    # one C pass; part start offsets via cumsum of part lengths
+    parts = _WORD_SPLIT.split("\x00".join(texts))
+    plens = np.fromiter(map(len, parts), dtype=np.int64, count=len(parts))
+    pstarts = np.zeros(len(parts), dtype=np.int64)
+    pstarts[1:] = np.cumsum(plens[:-1])
+    word_starts = pstarts[1::2]
+    words = parts[1::2]
+    rows = np.searchsorted(row_starts, word_starts, side="right") - 1
+    low = np.array([w.lower() for w in words], dtype=str)
+
+    nw = np.bincount(rows, minlength=n).astype(np.int64)
+    den = np.maximum(nw, 1).astype(np.float64)
+    scores = np.empty((len(_LANGS_SORTED), n), dtype=np.float64)
+    for li, lang in enumerate(_LANGS_SORTED[:-1]):
+        hits = np.isin(low, _SW_SORTED[lang])
+        scores[li] = np.bincount(rows[hits], minlength=n) / den
+    scores[-1] = cjk / np.maximum(lens, 1)
+
+    best = np.argmax(scores, axis=0)  # first max == sorted-key tie rule
+    pred = np.array(_LANGS_SORTED, dtype=object)[best]
+    pred[scores[best, np.arange(n)] < min_score] = "unknown"
+    return pred
+
+
 _RK_BASE = np.uint64(1_000_003)  # odd, so invertible mod 2^64
 _RK_BINV = np.uint64(pow(1_000_003, -1, 1 << 64))
 

@@ -692,20 +692,24 @@ def q_langid(sf_dir: str):
     """Heuristic language ID (stopword/CJK n-gram scoring). Oracle-backed:
     the SQL twin is generated from the SAME stopword sets (_langid_sql),
     so the per-doc labels are hash-checked even though the synthetic
-    corpus carries no real language signal."""
-    from eristropy_ray.datapipe.textstats import langid_predict
+    corpus carries no real language signal. Batch-vectorized since
+    round 5 (langid_predict_arrow — one slab regex split + np.isin per
+    language, element-identical to the scalar kernel)."""
+    from eristropy_ray.datapipe.textstats import langid_predict_arrow
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "lang_pred": [langid_predict(t) for t in df["text"]],
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "lang_pred": pa.array(
+                    langid_predict_arrow(b["text"]).astype(str), pa.string()
+                ),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def q_fingerprints(sf_dir: str):
@@ -987,7 +991,7 @@ def q_weighted_mix(sf_dir: str):
     ``doc_id % M < round(rate(lang) * M)``, so re-weighting is a pure
     filter change — no shuffle, no state, reproducible across runs and
     cluster sizes. Output (doc_id, lang_pred)."""
-    from eristropy_ray.datapipe.textstats import langid_predict
+    from eristropy_ray.datapipe.textstats import langid_predict_arrow
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     m = WEIGHTED_MIX_M
@@ -996,18 +1000,21 @@ def q_weighted_mix(sf_dir: str):
     }
     default_thr = int(round(WEIGHTED_MIX_DEFAULT_RATE * m))
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
-        lang = np.array([langid_predict(t) for t in df["text"]], dtype=object)
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = langid_predict_arrow(b["text"])
         thr = np.array(
             [thresholds.get(x, default_thr) for x in lang], dtype=np.int64
         )
         keep = (ids % m) < thr
-        return pd.DataFrame(
-            {"doc_id": ids[keep], "lang_pred": lang[keep].astype(str)}
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang_pred": pa.array(lang[keep].astype(str), pa.string()),
+            }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _weighted_mix_sql() -> str:
@@ -2474,15 +2481,15 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
     (langid) -> token counts. One streaming pass plus one dedup shuffle
     of (hash, id, tokens) triples; binary-exact vs a composed SQL twin."""
     from eristropy_ray.datapipe.dedup import batch_hash128
-    from eristropy_ray.datapipe.textstats import langid_predict
+    from eristropy_ray.datapipe.textstats import langid_predict_arrow
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def score_filter(b: pa.Table) -> pa.Table:
-        # Arrow-native filters; only the langid heuristic (per-row
-        # stopword scoring, ~60 µs/doc) runs on the already-filtered
-        # subset. Dedup keys are the vectorized 128-bit buffer digest
-        # (two int64 shuffle keys, same plan as q_dedup_exact).
+        # Arrow-native filters; the batch langid kernel runs on the
+        # already-filtered subset. Dedup keys are the vectorized 128-bit
+        # buffer digest (two int64 shuffle keys, same plan as
+        # q_dedup_exact).
         n_chars = pc.utf8_length(b["text"])
         punct = pc.count_substring_regex(b["text"], pattern=r"[.!?,;:]")
         keep = pc.and_(
@@ -2497,11 +2504,7 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
         )
         sub = b.filter(pc.fill_null(keep, False))
         if sub.num_rows:
-            en = np.fromiter(
-                (langid_predict(t) == "en" for t in sub["text"].to_pylist()),
-                dtype=bool,
-                count=sub.num_rows,
-            )
+            en = langid_predict_arrow(sub["text"]) == "en"
             sub = sub.filter(pa.array(en))
         h1, h2 = batch_hash128(sub["text"])
         return pa.table(

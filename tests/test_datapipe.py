@@ -342,6 +342,50 @@ def test_doc_chunks_query(ray_session):
 
 
 @given(
+    st.lists(
+        st.text(
+            alphabet=st.one_of(
+                st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+                st.sampled_from("the und les el il 中文漢字 . ! ? éßİ"),
+            ),
+            max_size=60,
+        ),
+        max_size=20,
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_langid_predict_arrow_matches_scalar(texts):
+    """The batch langid is element-identical to the scalar kernel —
+    stopword hits, CJK ratio, sorted-key tie-break and the min_score
+    threshold all included."""
+    import pyarrow as pa
+
+    from eristropy_ray.datapipe.textstats import (
+        langid_predict,
+        langid_predict_arrow,
+    )
+
+    got = langid_predict_arrow(pa.array(texts, pa.string()))
+    assert got.tolist() == [langid_predict(t) for t in texts]
+
+
+def test_langid_predict_arrow_known_labels():
+    import pyarrow as pa
+
+    from eristropy_ray.datapipe.textstats import langid_predict_arrow
+
+    texts = [
+        "the cat and the dog in the house",   # en
+        "der Hund und die Katze ist nicht da",  # de
+        "汉字漢字中文",  # zh by CJK ratio
+        "",  # no signal -> unknown
+        "zxq qqq",  # no stopword hits -> unknown
+    ]
+    got = langid_predict_arrow(pa.chunked_array([texts[:2], texts[2:]]))
+    assert got.tolist() == ["en", "de", "zh", "unknown", "unknown"]
+
+
+@given(
     st.lists(st.integers(min_value=0, max_value=40), max_size=60),
     st.integers(min_value=1, max_value=30),
 )
