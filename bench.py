@@ -227,6 +227,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "anti_join",
         "running_sum",
         "topk_per_user",
+        "doc_chunks",
+        "seq_pack",
+        "weighted_mix",
+        "langid",
     ]
     timings = {}
     for name in names:
