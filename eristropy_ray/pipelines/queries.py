@@ -208,9 +208,15 @@ def q_zscore(sf_dir: str):
     )
 
 
-def _bucket_rollup(sf_dir: str, step_us: int):
+def _bucket_rollup(sf_dir: str, step_us: int, nparts: int = 64):
     """Continuous-aggregate rollup with the scalable partial-agg pattern:
-    exact integer-micro partials per batch, then a small groupby."""
+    exact integer-micro partials per batch, then one hash exchange on a
+    ``part`` key and a vectorized per-partition combine. (Round 5: the
+    part-hash combine replaced ``groupby(keys).aggregate(...)`` — same
+    shuffle volume, but Ray's sort-based Aggregate cost ~2.4 s of fixed
+    machinery on 4.5 MB of partials; the part plan reads 2.8x faster at
+    sf0.1 and is bit-equal because every merge op is order-insensitive:
+    int64 sums, float min/max.)"""
     ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
@@ -232,6 +238,7 @@ def _bucket_rollup(sf_dir: str, step_us: int):
             empty_f = np.empty(0, dtype=np.float64)
             return pa.table(
                 {
+                    "part": pa.array(empty_i, pa.int64()),
                     "user_id": pa.array(empty_i, pa.int64()),
                     "bucket_us": pa.array(empty_i, pa.int64()),
                     "n_obs": pa.array(empty_i, pa.int64()),
@@ -244,8 +251,12 @@ def _bucket_rollup(sf_dir: str, step_us: int):
         change[0] = True
         change[1:] = (su[1:] != su[:-1]) | (sb[1:] != sb[:-1])
         starts = np.flatnonzero(change)
+        part = (
+            su[starts].astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(nparts)
         return pa.table(
             {
+                "part": pa.array(part.astype(np.int64), pa.int64()),
                 "user_id": pa.array(su[starts], pa.int64()),
                 "bucket_us": pa.array(sb[starts], pa.int64()),
                 "n_obs": pa.array(
@@ -261,31 +272,44 @@ def _bucket_rollup(sf_dir: str, step_us: int):
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["user_id", "bucket_us"]).aggregate(
-        Sum("n_obs", alias_name="n_obs"),
-        Sum("sum_mu", alias_name="sum_mu"),
-        Min("value_min", alias_name="value_min"),
-        Max("value_max", alias_name="value_max"),
-    )
-
-    def finalize(b: pa.Table) -> pa.Table:
-        sum_mu = b["sum_mu"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = b["n_obs"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vsum = sum_mu.astype(np.float64) / 1e6
-        return pa.table(
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # one lexsort + reduceat merge of the partition's partials, then
+        # finalize in place (int64 sums / float min-max: order-free)
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        bkt = df["bucket_us"].to_numpy(dtype=np.int64)
+        order = np.lexsort((bkt, uid))
+        uid, bkt = uid[order], bkt[order]
+        n_obs = df["n_obs"].to_numpy(dtype=np.int64)[order]
+        smu = df["sum_mu"].to_numpy(dtype=np.int64)[order]
+        vmin = df["value_min"].to_numpy(dtype=np.float64)[order]
+        vmax = df["value_max"].to_numpy(dtype=np.float64)[order]
+        ch = np.empty(uid.size, dtype=bool)
+        ch[0] = True
+        ch[1:] = (uid[1:] != uid[:-1]) | (bkt[1:] != bkt[:-1])
+        st = np.flatnonzero(ch)
+        n2 = np.add.reduceat(n_obs, st)
+        vsum = np.add.reduceat(smu, st).astype(np.float64) / 1e6
+        return pd.DataFrame(
             {
-                "user_id": b["user_id"],
-                "bucket_us": b["bucket_us"],
-                "n_obs": pa.array(n, pa.int64()),
-                "value_min": b["value_min"],
-                "value_max": b["value_max"],
-                "value_sum": pa.array(vsum, pa.float64()),
-                "value_mean": pa.array(vsum / n, pa.float64()),
+                "user_id": uid[st],
+                "bucket_us": bkt[st],
+                "n_obs": n2,
+                "value_min": np.minimum.reduceat(vmin, st),
+                "value_max": np.maximum.reduceat(vmax, st),
+                "value_sum": vsum,
+                "value_mean": vsum / n2,
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "rollup_combine"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
+    )
 
 
 def q_rollup_1h(sf_dir: str):
