@@ -330,32 +330,59 @@ def q_doc_counts_by_lang(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
-def q_dedup_exact(sf_dir: str):
+def q_dedup_exact(sf_dir: str, nparts: int = 64):
     """Exact dedup: hash-partition by 128-bit content hash, keep min
     doc_id. Hashing is one vectorized pass over the Arrow string
     column's flat buffer + offsets (``batch_hash128`` — C-speed rolling
     hashes, no per-row Python; replaced the ``Series.map(sha1)`` loop
     flagged in VERDICT r4), and the shuffle carries two int64 key
-    columns instead of 40-char hex strings."""
+    columns instead of 40-char hex strings. The combine is the
+    part-hash plan (``part = h1 % nparts`` — every row of a hash group
+    lands in one partition, so the per-partition lexsort + first/count
+    is globally exact); it replaced ``groupby((h1,h2)).aggregate`` for
+    the same fixed-shuffle-machinery reason as ``_bucket_rollup``."""
     from eristropy_ray.datapipe.dedup import batch_hash128
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def hash_batch(b: pa.Table) -> pa.Table:
         h1, h2 = batch_hash128(b["text"])
+        part = (h1 % np.uint64(nparts)).astype(np.int64)
         return pa.table(
             {
+                "part": pa.array(part, pa.int64()),
                 "doc_id": b["doc_id"],
                 "h1": pa.array(h1.view(np.int64), pa.int64()),
                 "h2": pa.array(h2.view(np.int64), pa.int64()),
             }
         )
 
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
-    out = hashed.groupby(["h1", "h2"]).aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dupes")
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h1 = df["h1"].to_numpy(dtype=np.int64)
+        h2 = df["h2"].to_numpy(dtype=np.int64)
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((did, h2, h1))
+        h1, h2, did = h1[order], h2[order], did[order]
+        ch = np.empty(h1.size, dtype=bool)
+        ch[0] = True
+        ch[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        st = np.flatnonzero(ch)
+        return pd.DataFrame(
+            {
+                "doc_id": did[st],  # doc_id is the last lexsort key -> min
+                "n_dupes": np.diff(np.append(st, h1.size)).astype(np.int64),
+            }
+        )
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "dedup_combine"
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
     )
-    return out.select_columns(["doc_id", "n_dupes"])
 
 
 # GPT-2-style pre-tokenizer, simplified to be lookahead-free and written
