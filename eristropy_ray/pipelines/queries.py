@@ -106,24 +106,110 @@ def _grouped(ds: rd.Dataset, fn) -> rd.Dataset:
 
 # ---------------------------------------------------------------- queries
 
-def q_signal_counts(sf_dir: str):
-    """V3-style per-signal sizes + exact min/max (validation surface)."""
-    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
-    out = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_obs"),
-        Min("value", alias_name="value_min"),
-        Max("value", alias_name="value_max"),
+def _user_counts(sf_dir: str, nparts: int = 64) -> rd.Dataset:
+    """(user_id, n_obs) via per-batch collapse + part-hash combine: the
+    shuffle carries (users x blocks) partial rows, not one row per
+    event, and skips Ray's sort-based Aggregate fixed cost."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(uid, return_counts=True)
+        part = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            nparts
+        )
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "n_obs": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        n = df["n_obs"].to_numpy(dtype=np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, n = uid[order], n[order]
+        st = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        return pd.DataFrame(
+            {"user_id": uid[st], "n_obs": np.add.reduceat(n, st)}
+        )
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "user_count_combine"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
     )
-    return out
+
+
+def q_signal_counts(sf_dir: str, nparts: int = 64):
+    """V3-style per-signal sizes + exact min/max (validation surface).
+    Partial-collapsed per batch (count/min/max are mergeable), then the
+    part-hash combine — the shuffle carries partial rows, not events."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(uid, kind="stable")
+        uid, v = uid[order], v[order]
+        st = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        u = uid[st]
+        part = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            nparts
+        )
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "n_obs": pa.array(
+                    np.diff(np.append(st, uid.size)), pa.int64()
+                ),
+                "value_min": pa.array(
+                    np.minimum.reduceat(v, st), pa.float64()
+                ),
+                "value_max": pa.array(
+                    np.maximum.reduceat(v, st), pa.float64()
+                ),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        n = df["n_obs"].to_numpy(dtype=np.int64)
+        vmin = df["value_min"].to_numpy(dtype=np.float64)
+        vmax = df["value_max"].to_numpy(dtype=np.float64)
+        order = np.argsort(uid, kind="stable")
+        uid, n, vmin, vmax = uid[order], n[order], vmin[order], vmax[order]
+        st = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        return pd.DataFrame(
+            {
+                "user_id": uid[st],
+                "n_obs": np.add.reduceat(n, st),
+                "value_min": np.minimum.reduceat(vmin, st),
+                "value_max": np.maximum.reduceat(vmax, st),
+            }
+        )
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "signal_counts_combine"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
+    )
 
 
 def q_min_signal_length(sf_dir: str):
     """min group size guard (sample_entropy.py:106-111)."""
-    counts = (
-        _read(f"{sf_dir}/events.parquet", columns=["user_id"])
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n_obs"))
-    )
+    counts = _user_counts(sf_dir)
     if counts.count() == 0:  # empty table: Dataset.min returns None
         return pd.DataFrame({"min_len": pd.Series(dtype="int64")})
     return pd.DataFrame({"min_len": [int(counts.min("n_obs"))]})
@@ -2525,7 +2611,12 @@ def q_frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32):
     return frames.map_batches(project, batch_format="pyarrow")
 
 
-def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
+def q_clean_corpus(
+    sf_dir: str,
+    min_chars: int = 100,
+    max_punct: float = 0.1,
+    nparts: int = 64,
+):
     """End-to-end corpus cleaning composition — the pipeline shape a
     training-data user actually runs: length/quality filter -> exact
     dedup (content-hash groupby, keep min doc_id) -> English-only
@@ -2560,6 +2651,9 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
         h1, h2 = batch_hash128(sub["text"])
         return pa.table(
             {
+                "part": pa.array(
+                    (h1 % np.uint64(nparts)).astype(np.int64), pa.int64()
+                ),
                 "h1": pa.array(h1.view(np.int64), pa.int64()),
                 "h2": pa.array(h2.view(np.int64), pa.int64()),
                 "doc_id": pc.cast(sub["doc_id"], pa.int64()),
@@ -2572,15 +2666,31 @@ def q_clean_corpus(sf_dir: str, min_chars: int = 100, max_punct: float = 0.1):
             }
         )
 
-    deduped = (
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # part-hash combine (same plan as q_dedup_exact): doc_id is the
+        # last lexsort key, so the group head is the min; identical
+        # texts carry identical n_tokens, so the head's count IS the min
+        h1 = df["h1"].to_numpy(dtype=np.int64)
+        h2 = df["h2"].to_numpy(dtype=np.int64)
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        ntok = df["n_tokens"].to_numpy(dtype=np.int64)
+        order = np.lexsort((did, h2, h1))
+        h1, h2, did, ntok = h1[order], h2[order], did[order], ntok[order]
+        ch = np.empty(h1.size, dtype=bool)
+        ch[0] = True
+        ch[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        st = np.flatnonzero(ch)
+        return pd.DataFrame({"doc_id": did[st], "n_tokens": ntok[st]})
+
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "clean_dedup_combine"
+    return (
         ds.map_batches(score_filter, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .aggregate(
-            Min("doc_id", alias_name="doc_id"),
-            Min("n_tokens", alias_name="n_tokens"),  # same text -> same count
-        )
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
     )
-    return deduped.select_columns(["doc_id", "n_tokens"])
 
 
 def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
@@ -3033,9 +3143,11 @@ def q_reservoir_sample(sf_dir: str, k: int = 1000):
 
 
 def q_top_users(sf_dir: str, k: int = 10):
-    """Top-k users by observation count (count desc, user_id asc)."""
-    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
-    counts = ds.groupby("user_id").aggregate(Count(alias_name="n_obs"))
+    """Top-k users by observation count (count desc, user_id asc).
+    Counts come from the partial-collapsed part-hash combine; each
+    user's total is complete within one combine partition, so the final
+    sort touches per-user rows only."""
+    counts = _user_counts(sf_dir)
     return counts.sort(["n_obs", "user_id"], descending=[True, False]).limit(k)
 
 
