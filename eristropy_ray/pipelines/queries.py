@@ -2726,6 +2726,7 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
             empty_i = np.empty(0, dtype=np.int64)
             return pa.table(
                 {
+                    "part": pa.array(empty_i, pa.int64()),
                     "signal_id": pa.array(empty_i, pa.int64()),
                     "window_start_us": pa.array(empty_i, pa.int64()),
                     "n_obs": pa.array(empty_i, pa.int64()),
@@ -2736,9 +2737,12 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
         change[0] = True
         change[1:] = (ss[1:] != ss[:-1]) | (sw[1:] != sw[:-1])
         g_starts = np.flatnonzero(change)
+        u = ss[g_starts]
+        part = (u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
         return pa.table(
             {
-                "signal_id": pa.array(ss[g_starts], pa.int64()),
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+                "signal_id": pa.array(u, pa.int64()),
                 "window_start_us": pa.array(sw[g_starts], pa.int64()),
                 "n_obs": pa.array(
                     np.diff(np.append(g_starts, n)), pa.int64()
@@ -2749,29 +2753,38 @@ def q_hopping_window(sf_dir: str, span_us: int = 3_600_000_000,
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["signal_id", "window_start_us"])
-        .aggregate(
-            Sum("n_obs", alias_name="n_obs"),
-            Sum("sum_mu", alias_name="sum_mu"),
-        )
-    )
-
-    def finalize(b: pa.Table) -> pa.Table:
-        sum_mu = b["sum_mu"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # part-hash combine + in-place finalize (same plan as
+        # _bucket_rollup; int64 sums are order-insensitive)
+        sid = df["signal_id"].to_numpy(dtype=np.int64)
+        wst = df["window_start_us"].to_numpy(dtype=np.int64)
+        order = np.lexsort((wst, sid))
+        sid, wst = sid[order], wst[order]
+        n = df["n_obs"].to_numpy(dtype=np.int64)[order]
+        smu = df["sum_mu"].to_numpy(dtype=np.int64)[order]
+        ch = np.empty(sid.size, dtype=bool)
+        ch[0] = True
+        ch[1:] = (sid[1:] != sid[:-1]) | (wst[1:] != wst[:-1])
+        st = np.flatnonzero(ch)
+        return pd.DataFrame(
             {
-                "signal_id": pc.cast(b["signal_id"], pa.int64()),
-                "window_start_us": b["window_start_us"],
-                "n_obs": pc.cast(b["n_obs"], pa.int64()),
-                "value_sum": pa.array(
-                    sum_mu.astype(np.float64) / 1e6, pa.float64()
-                ),
+                "signal_id": sid[st],
+                "window_start_us": wst[st],
+                "n_obs": np.add.reduceat(n, st),
+                "value_sum": np.add.reduceat(smu, st).astype(np.float64)
+                / 1e6,
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["part"]))
+
+    wrapper.__name__ = "hopping_combine"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wrapper, batch_format="pandas")
+    )
 
 
 def q_streaming_window(
