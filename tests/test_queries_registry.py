@@ -110,6 +110,33 @@ def test_event_types_matches_duckdb(ray_session):
     assert list(got["n"].astype("int64")) == list(want["n"].astype("int64"))
 
 
+def test_registry_smoke_all_queries(ray_session):
+    """Driver-contract smoke: EVERY registry entry runs at sf0.001 and
+    yields a consumable result with a non-empty schema. This is the
+    in-suite replica of the driver's queries() check — rows-only
+    entries with no dedicated pytest get at least execution coverage."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eristropy_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    empty_allowed = set()  # every query yields rows on the test corpus
+    for name, fn in QUERIES.items():
+        out = fn(sf)
+        if isinstance(out, rd.Dataset):
+            n = out.count()
+            cols = out.schema().names
+        elif isinstance(out, pa.Table):
+            n, cols = out.num_rows, out.column_names
+        else:
+            assert isinstance(out, pd.DataFrame), name
+            n, cols = len(out), list(out.columns)
+        assert cols, f"{name}: empty schema"
+        assert n > 0 or name in empty_allowed, f"{name}: zero rows"
+
+
 def test_weighted_mix_matches_duckdb(ray_session):
     """weighted_mix is rows-only in the registry (50-slot prefix is
     full), so its exactness contract lives here: the DuckDB twin is
