@@ -228,6 +228,26 @@ def fixture_transcripts() -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _norm_transcript_batch(b: pa.Table) -> pa.Table:
+    """Normalize a text-format ingest batch to ``TRANSCRIPT_SCHEMA``
+    types (shared by the JSONL and CSV readers): string conv_id/role,
+    int64 turn_idx (the target-volume width), null text/tool -> "",
+    and ``ts`` from the text-shipment contract (int64 epoch-µs) to
+    timestamp[us]."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "conv_id": pc.cast(b["conv_id"], pa.string()),
+            "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+            "role": pc.cast(b["role"], pa.string()),
+            "text": pc.cast(pc.fill_null(b["text"], ""), pa.string()),
+            "tool": pc.cast(pc.fill_null(b["tool"], ""), pa.string()),
+            "ts": pc.cast(b["ts"], pa.timestamp("us")),
+        }
+    )
+
+
 def read_transcripts_jsonl(paths: list[str] | str):
     """Transcript table from JSONL files (a second ingest format).
 
@@ -239,21 +259,42 @@ def read_transcripts_jsonl(paths: list[str] | str):
     properties as the parquet source); equivalence with the parquet path
     is pinned in tests/test_pipeline.py.
     """
-    import pyarrow.compute as pc
     import ray.data as rd
 
     ds = rd.read_json(paths)
+    return ds.map_batches(_norm_transcript_batch, batch_format="pyarrow")
 
-    def norm(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "conv_id": pc.cast(b["conv_id"], pa.string()),
-                "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
-                "role": pc.cast(b["role"], pa.string()),
-                "text": pc.cast(pc.fill_null(b["text"], ""), pa.string()),
-                "tool": pc.cast(pc.fill_null(b["tool"], ""), pa.string()),
-                "ts": pc.cast(b["ts"], pa.timestamp("us")),
+
+def read_transcripts_csv(paths: list[str] | str):
+    """Transcript table from CSV files (a third ingest format).
+
+    Same text-shipment contract as JSONL — ``ts`` as int64
+    epoch-microseconds, empty/missing text and tool fields become ""
+    — normalized through the shared ``_norm_transcript_batch``.
+    Distributed read via ``ray.data.read_csv`` (streaming, one task per
+    file / block); equivalence with the parquet path is pinned in
+    tests/test_pipeline.py. CSV cannot carry embedded newlines safely
+    across naive producers, so this reader is for simple
+    machine-generated exports; prefer parquet or JSONL otherwise.
+    """
+    import ray.data as rd
+    from pyarrow import csv as pa_csv
+
+    # empty strings must stay strings (not null-typed columns) even when
+    # a whole block's text column is empty; strings_can_be_null=False is
+    # the pyarrow default but convert_options pins column types so a
+    # numeric-looking conv_id file still reads as string
+    ds = rd.read_csv(
+        paths,
+        convert_options=pa_csv.ConvertOptions(
+            column_types={
+                "conv_id": pa.string(),
+                "turn_idx": pa.int64(),
+                "role": pa.string(),
+                "text": pa.string(),
+                "tool": pa.string(),
+                "ts": pa.int64(),
             }
-        )
-
-    return ds.map_batches(norm, batch_format="pyarrow")
+        ),
+    )
+    return ds.map_batches(_norm_transcript_batch, batch_format="pyarrow")

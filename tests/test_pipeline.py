@@ -455,3 +455,35 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_csv_source_matches_parquet(ray_session, tmp_path):
+    """The CSV ingest path produces byte-identical rollups to parquet."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pyarrow import csv as pa_csv
+
+    from eristropy_ray.pipelines.rollup import rollup_dataset
+    from eristropy_ray.sources.transcripts import (
+        fixture_transcripts,
+        read_transcripts_csv,
+    )
+
+    t = fixture_transcripts()
+    # CSV contract: ts as int64 epoch-µs (same as JSONL)
+    t_csv = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        t["ts"].cast(pa.int64()),
+    )
+    half = len(t_csv) // 2
+    files = []
+    for i, part in enumerate((t_csv.slice(0, half), t_csv.slice(half))):
+        path = tmp_path / f"tx_{i}.csv"
+        pa_csv.write_csv(part, path)
+        files.append(str(path))
+
+    cfg = RollupConfig()
+    a = _sorted_rollup(rollup_dataset(rd.from_arrow(t), cfg))
+    b = _sorted_rollup(rollup_dataset(read_transcripts_csv(files), cfg))
+    pd.testing.assert_frame_equal(a, b)
