@@ -65,3 +65,52 @@ def test_png_roundtrip_property(h, w, ch, seed):
     px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
     filters = rng.integers(0, 5, size=min(h, 5)).tolist()
     np.testing.assert_array_equal(decode_png(encode_png(px, filters)), px)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    step=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+    nan_frac=st.floats(0.0, 0.9),
+)
+def test_gapfill_property(n, step, seed, nan_frac):
+    """For any sparse observed set: the grid spans first..last at the
+    tier step; observed points are preserved bit-exactly (NaN included);
+    filled points exist exactly strictly-inside the finite-anchor range
+    and each equals np.interp at its bucket; nothing extrapolates."""
+    import numpy as np
+
+    from eristropy_ray.codecs.gapfill import gapfill_series
+
+    rng = np.random.default_rng(seed)
+    # sorted unique buckets on the step lattice (gap-fill contract)
+    offs = np.sort(rng.choice(np.arange(200), size=n, replace=False))
+    b = (1_000 + offs * step).astype(np.int64)
+    v = rng.normal(size=n)
+    v[rng.random(n) < nan_frac] = np.nan
+
+    grid, filled, observed = gapfill_series(b, v, step)
+
+    np.testing.assert_array_equal(
+        grid, np.arange(b[0], b[-1] + step, step, dtype=np.int64)
+    )
+    # observed mask marks exactly the input buckets, values bit-preserved
+    np.testing.assert_array_equal(grid[observed], b)
+    np.testing.assert_array_equal(filled[observed], v)
+
+    finite = np.isfinite(v)
+    missing = ~observed
+    if finite.sum() >= 2:
+        lo, hi = b[finite][0], b[finite][-1]
+        inside = missing & (grid >= lo) & (grid <= hi)
+        expect = np.interp(
+            grid[inside].astype(np.float64),
+            b[finite].astype(np.float64),
+            v[finite],
+        )
+        np.testing.assert_array_equal(filled[inside], expect)
+        assert np.all(np.isnan(filled[missing & ~inside]))
+    else:
+        # fewer than two anchors: nothing may be invented
+        assert np.all(np.isnan(filled[missing]))
